@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: build the inverted index over the
+sf0.001 documents corpus and run a BM25 OR query, materializing the
+hits against the docs table (broadcast join, SURVEY §2.7 J2).
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2; DuckDB twins run on the pre-registered views.
+Column names/aliases match pairwise; BM25 scores are rounded to 4
+decimals on both sides and ordered by (rounded score desc, id) so the
+top-k cut is engine-independent.
 """
 
 from __future__ import annotations
@@ -12,27 +16,353 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# BM25 constants mirrored in the SQL strings below (query/bm25.py)
+K1, B = 1.2, 0.75
+
+_INDEX_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _searcher(spark: SparkSession, sf_dir: str, field: str = "content_patterns"):
+    from coa_codesearch_mcp_spark.index.build import build_logical_index
+    from coa_codesearch_mcp_spark.query.executor import Searcher
+
+    key = (sf_dir, field)
+    if key not in _INDEX_CACHE:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _INDEX_CACHE[key] = Searcher(
+            build_logical_index(docs, field=field).cache()
+        )
+    return _INDEX_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    sf_dir = "/root/testdata/sf0.001"
+    s = _searcher(spark, sf_dir)
+    hits = s.search_or(["spark", "stream", "hash"], k=10)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hits.join(F.broadcast(docs), "doc_id").select(
+        "doc_id", "score", "lang", "source", "n_chars"
+    )
+
+
+# --------------------------------------------------------------------
+# Tokenization contract shared by the Spark engine and the DuckDB
+# oracles: the content_patterns chain (whitespace split + lowercase) —
+# WhitespaceTokenizer + LowerCaseFilter, CodeAnalyzer.cs:70-85.
+# --------------------------------------------------------------------
+
+# SQL building blocks (DuckDB)
+_SQL_TOK = r"""
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+  FROM documents
+),
+tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dl AS (
+  SELECT d.doc_id, count(t.term) AS dl
+  FROM documents d LEFT JOIN tok2 t ON d.doc_id = t.doc_id
+  GROUP BY d.doc_id
+),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+post AS (SELECT term, doc_id, count(*) AS tf FROM tok2 GROUP BY term, doc_id),
+dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term)
+"""
+
+
+def _sql_bm25(term_filter: str, having: str = "", exclude: str = "") -> str:
+    """Top-10 BM25 with the pinned formula; see query/bm25.py."""
+    return f"""
+WITH {_SQL_TOK},
+scored AS (
+  SELECT p.doc_id,
+         sum( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+              * p.tf * ({K1} + 1)
+              / (p.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl)) ) AS score,
+         count(*) AS n_matched
+  FROM post p
+  JOIN dfreq f USING (term)
+  JOIN dl d ON p.doc_id = d.doc_id
+  CROSS JOIN stats s
+  WHERE {term_filter}
+  GROUP BY p.doc_id
+  {having}
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored
+{exclude}
+ORDER BY round(score, 4) DESC, doc_id
+LIMIT 10
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def q1_term(spark, sf):
+        return _searcher(spark, sf).search_term("spark", k=10)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q2_and(spark, sf):
+        return _searcher(spark, sf).search_and(["spark", "stream"], k=10)
+
+    def q3_or(spark, sf):
+        return _searcher(spark, sf).search_or(["spark", "stream"], k=10)
+
+    def q4_not(spark, sf):
+        return _searcher(spark, sf).search_or(["spark"], k=10, exclude=["stream"])
+
+    def q5_phrase(spark, sf):
+        return _searcher(spark, sf).search_phrase(["fast", "key"], k=10)
+
+    def q6_wildcard(spark, sf):
+        return _searcher(spark, sf).search_wildcard("sp*", k=10)
+
+    def q7_fuzzy(spark, sf):
+        return _searcher(spark, sf).search_fuzzy("sparkk", k=10)
+
+    def q8_regex(spark, sf):
+        return _searcher(spark, sf).search_regexp("s.a.*", k=10)
+
+    def a1_tf(spark, sf):
+        s = _searcher(spark, sf)
+        return (
+            s.ix.postings.filter(F.col("term").isin(["spark", "hash", "merge"]))
+            .select("term", "doc_id", F.col("tf").cast("long").alias("tf"))
+            .orderBy("term", "doc_id")
+        )
+
+    def a2_df(spark, sf):
+        s = _searcher(spark, sf)
+        return s.ix.dictionary.select(
+            "term", F.col("df").cast("long").alias("df")
+        ).orderBy("term")
+
+    def a3_corpus_stats(spark, sf):
+        s = _searcher(spark, sf)
+        return s.ix.doclens.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("dl"), 4).alias("avgdl"),
+        )
+
+    def o3_recent_events(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return (
+            ev.select("event_id", "ts", "event_type", "value")
+            .orderBy(F.desc("ts"), F.asc("event_id"))
+            .limit(20)
+        )
+
+    def q16_knn_cosine(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv")
+        )
+        dot = F.aggregate(
+            F.zip_with("embedding", "qv", lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        norm = lambda c: F.sqrt(  # noqa: E731
+            F.aggregate(
+                F.transform(c, lambda a: a.cast("double") * a.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        return (
+            emb.crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                F.round(dot / (norm(F.col("embedding")) * norm(F.col("qv"))), 4).alias(
+                    "cosine"
+                ),
+            )
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(10)
+        )
+
+    def dedup_exact(spark, sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("text").alias("n_unique_texts"),
+            F.countDistinct(F.md5(F.col("text"))).alias("n_unique_hashes"),
+        )
+
+    def text_quality(spark, sf):
+        from coa_codesearch_mcp_spark.functions.text import quality_score_cols
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        cols = quality_score_cols("text")
+        return (
+            docs.select(
+                "doc_id",
+                cols[0],  # n_chars
+                cols[1],  # n_words
+                F.round(cols[6], 4).alias("distinct_ratio"),
+            )
+            .orderBy("doc_id")
+        )
+
+    def rel_agg_lineitem(spark, sf):
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    def rel_join_topcust(spark, sf):
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        c = spark.read.parquet(f"{sf}/customer.parquet")
+        return (
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_custkey", "c_name")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+            .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+            .limit(25)
+        )
+
+    return {
+        "q1_term_bm25": q1_term,
+        "q2_and_bm25": q2_and,
+        "q3_or_bm25": q3_or,
+        "q4_not_bm25": q4_not,
+        "q5_phrase_bm25": q5_phrase,
+        "q6_wildcard_bm25": q6_wildcard,
+        "q7_fuzzy_bm25": q7_fuzzy,
+        "q8_regex_bm25": q8_regex,
+        "a1_tf": a1_tf,
+        "a2_df": a2_df,
+        "a3_corpus_stats": a3_corpus_stats,
+        "o3_recent_events": o3_recent_events,
+        "q16_knn_cosine": q16_knn_cosine,
+        "dedup_exact": dedup_exact,
+        "text_quality": text_quality,
+        "rel_agg_lineitem": rel_agg_lineitem,
+        "rel_join_topcust": rel_join_topcust,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_term_bm25": _sql_bm25("p.term IN ('spark')"),
+        "q2_and_bm25": _sql_bm25(
+            "p.term IN ('spark', 'stream')", having="HAVING count(*) = 2"
+        ),
+        "q3_or_bm25": _sql_bm25("p.term IN ('spark', 'stream')"),
+        "q4_not_bm25": _sql_bm25(
+            "p.term IN ('spark')",
+            exclude=(
+                "WHERE doc_id NOT IN "
+                "(SELECT doc_id FROM post WHERE term IN ('stream'))"
+            ),
+        ),
+        "q5_phrase_bm25": f"""
+WITH {_SQL_TOK},
+tokordered AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS term,
+         generate_subscripts(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''), 1) - 1 AS pos
+  FROM documents
+),
+starts AS (
+  SELECT a.doc_id, count(*) AS phrase_tf
+  FROM tokordered a JOIN tokordered b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'fast' AND b.term = 'key'
+  GROUP BY a.doc_id
+),
+pdf AS (SELECT greatest(count(*), 1) AS df FROM starts),
+scored AS (
+  SELECT st.doc_id,
+         ln(1 + (s.n - pdf.df + 0.5) / (pdf.df + 0.5))
+           * st.phrase_tf * ({K1} + 1)
+           / (st.phrase_tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl)) AS score
+  FROM starts st
+  JOIN dl d ON st.doc_id = d.doc_id
+  CROSS JOIN stats s CROSS JOIN pdf
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 10
+""",
+        "q6_wildcard_bm25": _sql_bm25(
+            "p.term IN (SELECT term FROM dfreq WHERE regexp_matches(term, '^sp.*$'))"
+        ),
+        "q7_fuzzy_bm25": _sql_bm25(
+            "p.term IN (SELECT term FROM dfreq"
+            " WHERE abs(length(term) - 6) <= 2"
+            " AND levenshtein(term, 'sparkk') <= 2)"
+        ),
+        "q8_regex_bm25": _sql_bm25(
+            "p.term IN (SELECT term FROM dfreq WHERE regexp_matches(term, '^(?:s.a.*)$'))"
+        ),
+        "a1_tf": f"""
+WITH {_SQL_TOK}
+SELECT term, doc_id, tf
+FROM post WHERE term IN ('spark', 'hash', 'merge')
+ORDER BY term, doc_id
+""",
+        "a2_df": f"""
+WITH {_SQL_TOK}
+SELECT term, df FROM dfreq ORDER BY term
+""",
+        "a3_corpus_stats": f"""
+WITH {_SQL_TOK}
+SELECT n AS n_docs, round(avgdl, 4) AS avgdl FROM stats
+""",
+        "o3_recent_events": """
+SELECT event_id, ts, event_type, value
+FROM events ORDER BY ts DESC, event_id LIMIT 20
+""",
+        "q16_knn_cosine": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_dot_product(e.embedding, q.qv)
+             / (sqrt(list_dot_product(e.embedding, e.embedding))
+                * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+FROM embeddings e CROSS JOIN q
+ORDER BY cosine DESC, e.vec_id LIMIT 10
+""",
+        "dedup_exact": """
+SELECT count(*) AS n_docs,
+       count(DISTINCT text) AS n_unique_texts,
+       count(DISTINCT md5(text)) AS n_unique_hashes
+FROM documents
+""",
+        "text_quality": r"""
+WITH w AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+)
+SELECT doc_id, n_chars,
+       len(words) AS n_words,
+       round(len(list_distinct(list_transform(words, x -> lower(x))))
+             / greatest(len(words), 1), 4) AS distinct_ratio
+FROM w ORDER BY doc_id
+""",
+        "rel_agg_lineitem": """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        "rel_join_topcust": """
+SELECT c.c_custkey, c.c_name, round(sum(o.o_totalprice), 2) AS total_spent
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY total_spent DESC, c.c_custkey
+LIMIT 25
+""",
+    }

@@ -1,0 +1,119 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Headline numbers:
+  - index build (whitespace chain, pure built-ins) + docs/sec
+  - index build (code-aware chain, Arrow UDF) + docs/sec
+  - BM25 query latencies (term/and/or/phrase/wildcard/fuzzy/regex)
+  - brute-force KNN top-k
+
+Scaling evidence (north rule: two cluster sizes) is produced by
+tools/scaling_bench.py which runs THIS job at two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    from pyspark.sql import functions as F
+
+    from coa_codesearch_mcp_spark.index.build import build_logical_index
+    from coa_codesearch_mcp_spark.query.executor import Searcher
+    from coa_codesearch_mcp_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        return out
+
+    # --- index build: whitespace chain (JVM built-ins only) ---
+    def build_patterns():
+        ix = build_logical_index(docs, field="content_patterns").cache()
+        ix.postings.count()  # materialize
+        return ix
+
+    ix = timed("build_index_patterns", build_patterns)
+
+    # --- index build: code-aware chain (Arrow-batched UDF) ---
+    def build_content():
+        ix2 = build_logical_index(
+            docs, field="content", with_positions=False
+        )
+        ix2.postings.count()
+        return ix2
+
+    timed("build_index_content", build_content)
+
+    s = Searcher(ix)
+    timed("q1_term", lambda: s.search_term("spark", k=10).collect())
+    timed("q2_and", lambda: s.search_and(["spark", "stream"], k=10).collect())
+    timed("q3_or", lambda: s.search_or(["spark", "stream"], k=10).collect())
+    timed("q5_phrase", lambda: s.search_phrase(["fast", "key"], k=10).collect())
+    timed("q6_wildcard", lambda: s.search_wildcard("sp*", k=10).collect())
+    timed("q7_fuzzy", lambda: s.search_fuzzy("sparkk", k=10).collect())
+    timed("q8_regex", lambda: s.search_regexp("s.a.*", k=10).collect())
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def knn():
+        q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+        dot = F.aggregate(
+            F.zip_with(
+                "embedding", "qv", lambda a, b: a.cast("double") * b.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            emb.crossJoin(F.broadcast(q))
+            .select("vec_id", dot.alias("dot"))
+            .orderBy(F.desc("dot"))
+            .limit(10)
+            .collect()
+        )
+
+    timed("q16_knn", knn)
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_docs": n_docs,
+                "cpus": cpus,
+                "index_docs_per_sec_patterns": round(
+                    n_docs / timings["build_index_patterns"], 2
+                ),
+                "index_docs_per_sec_content": round(
+                    n_docs / timings["build_index_content"], 2
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Vectorized (Arrow-batched) tokenizer UDFs.
+
+The analyzer chain is inherently a per-string state machine, so the
+Python loop lives INSIDE the pandas UDF over Arrow batches — never a
+row-at-a-time Python UDF. Output is ``array<struct<term,pos>>`` so the
+downstream posting build is pure DataFrame ops (explode + groupBy),
+which Catalyst plans as partial/final hash aggregation.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.pandas.functions import pandas_udf
+
+from .chains import FIELD_CONTENT, FIELD_PATTERNS, FIELD_SYMBOLS, analyze_positions
+
+TOKEN_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("pos", T.IntegerType(), False),
+        ]
+    )
+)
+
+
+def _make_tokenizer_udf(field: str):
+    @pandas_udf(TOKEN_SCHEMA)
+    def tok(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: [
+                {"term": term, "pos": pos}
+                for term, pos in analyze_positions(field, t)
+            ]
+            if t is not None
+            else []
+        )
+
+    return tok
+
+
+tokenize_content = _make_tokenizer_udf(FIELD_CONTENT)
+tokenize_patterns = _make_tokenizer_udf(FIELD_PATTERNS)
+tokenize_symbols = _make_tokenizer_udf(FIELD_SYMBOLS)
+
+TOKENIZERS = {
+    FIELD_CONTENT: tokenize_content,
+    FIELD_PATTERNS: tokenize_patterns,
+    FIELD_SYMBOLS: tokenize_symbols,
+}
+
+
+def tokens_col(field: str, text_col: str = "text"):
+    """Column expression: analyzed (term,pos) array for ``field``.
+
+    For the ``content_patterns`` chain (whitespace + lowercase) this is
+    expressed with BUILT-IN functions only — it stays inside
+    whole-stage codegen, no Python at all. The code-aware chains need
+    the pandas UDF.
+    """
+    if field == FIELD_PATTERNS:
+        toks = F.split(F.lower(F.col(text_col)), r"\s+")
+        toks = F.filter(toks, lambda x: x != F.lit(""))
+        return F.transform(
+            toks,
+            lambda t, i: F.struct(
+                t.alias("term"), i.cast("int").alias("pos")
+            ),
+        )
+    return TOKENIZERS[field](F.col(text_col))
