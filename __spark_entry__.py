@@ -37,6 +37,36 @@ def _searcher(spark: SparkSession, sf_dir: str, field: str = "content_patterns")
     return _INDEX_CACHE[key]
 
 
+def _store_searcher(spark: SparkSession, sf_dir: str, field: str = "content_patterns"):
+    """Materialized-index path: compressed posting blocks + block-max
+    WAND scatter-gather (resumable build under /tmp, reused if built)."""
+    import os
+
+    from coa_codesearch_mcp_spark.index.store import (
+        IndexConfig,
+        IndexReader,
+        IndexWriter,
+    )
+    from coa_codesearch_mcp_spark.query.store_executor import StoreSearcher
+
+    key = ("store", sf_dir, field)
+    if key not in _INDEX_CACHE:
+        tag = sf_dir.rstrip("/").replace("/", "_")
+        root = f"/tmp/spark_graft_index/{tag}/{field}"
+        cfg = IndexConfig(
+            field=field,
+            n_buckets=8,
+            range_size=512,
+            chunk_size=2048,
+            salt_threshold=500,
+            max_salts=8,
+        )
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        IndexWriter(spark, root, cfg).build(docs)  # no-op when complete
+        _INDEX_CACHE[key] = StoreSearcher(IndexReader(spark, root))
+    return _INDEX_CACHE[key]
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     sf_dir = "/root/testdata/sf0.001"
@@ -229,8 +259,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(25)
         )
 
+    def q1_term_wand(spark, sf):
+        return _store_searcher(spark, sf).search_term("spark", k=10)
+
+    def q2_and_wand(spark, sf):
+        return _store_searcher(spark, sf).search_and(["spark", "stream"], k=10)
+
+    def q3_or_wand(spark, sf):
+        return _store_searcher(spark, sf).search_or(["spark", "stream"], k=10)
+
+    def q5_phrase_wand(spark, sf):
+        return _store_searcher(spark, sf).search_phrase(["fast", "key"], k=10)
+
     return {
         "q1_term_bm25": q1_term,
+        "q1_term_bm25_wand": q1_term_wand,
+        "q2_and_bm25_wand": q2_and_wand,
+        "q3_or_bm25_wand": q3_or_wand,
+        "q5_phrase_bm25_wand": q5_phrase_wand,
         "q2_and_bm25": q2_and,
         "q3_or_bm25": q3_or,
         "q4_not_bm25": q4_not,
@@ -251,7 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    sql = {
         "q1_term_bm25": _sql_bm25("p.term IN ('spark')"),
         "q2_and_bm25": _sql_bm25(
             "p.term IN ('spark', 'stream')", having="HAVING count(*) = 2"
@@ -366,3 +412,9 @@ ORDER BY total_spent DESC, c.c_custkey
 LIMIT 25
 """,
     }
+    # store/WAND paths share the logical paths' oracles (same spec)
+    sql["q1_term_bm25_wand"] = sql["q1_term_bm25"]
+    sql["q2_and_bm25_wand"] = sql["q2_and_bm25"]
+    sql["q3_or_bm25_wand"] = sql["q3_or_bm25"]
+    sql["q5_phrase_bm25_wand"] = sql["q5_phrase_bm25"]
+    return sql

@@ -1,0 +1,359 @@
+"""Materialized index store: build (resumable, salted) + read (pruned).
+
+Layout under ``root/`` (plain Parquet standing in for Iceberg tables;
+manifest.json emulates the snapshot commit — see manifest.py):
+
+    tokens/chunk_id=N/      (term, doc_id, tf, positions?) — staged
+                            tokenized postings, resume unit = chunk
+    doclens/chunk_id=N/     (doc_id, dl)
+    dictionary/             (term, df, bucket, n_salts)
+    postings/bucket=N/      encoded blocks: (term, salt, range_id,
+                            block_no, first_doc, last_doc, n,
+                            doc_gaps, tfs, dls, pos_blob?, max_tf, ub)
+    manifest.json           snapshots + per-unit lineage + stats
+
+Scale design (the parts that matter at 10^12 docs / 1000 executors):
+- the ONLY wide shuffle in the build is ``repartition(term, salt)``;
+  hot terms (df > salt_threshold) split into n_salts sub-lists keyed
+  by doc-range, so no reducer ever owns a whole stopword posting list
+  (explicit skew handling per the north rule — AQE skew join cannot
+  fix a grouped aggregation on a single hot key);
+- blocks never cross doc-range boundaries, so the query-side WAND
+  scatter unit (range_id) is partition-local after one narrow
+  repartition of the (tiny) candidate block set;
+- tokenization is committed per chunk-wave: a resumed build skips
+  completed chunks entirely (no re-tokenization), per the manifest;
+- bucket is a directory partition column -> Catalyst prunes
+  untouched buckets at query time; within a bucket, files are sorted
+  by term so parquet row-group stats prune on the term predicate.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..analysis.chains import FIELD_PATTERNS
+from ..query.bm25 import idf_py
+from .build import tokenize_docs
+from .codec import BLOCK_SIZE, encode_blocks, varint_encode
+from .manifest import Manifest
+
+POSTING_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("salt", T.IntegerType(), False),
+        T.StructField("range_id", T.LongType(), False),
+        T.StructField("block_no", T.IntegerType(), False),
+        T.StructField("first_doc", T.LongType(), False),
+        T.StructField("last_doc", T.LongType(), False),
+        T.StructField("n", T.IntegerType(), False),
+        T.StructField("doc_gaps", T.BinaryType(), False),
+        T.StructField("tfs", T.BinaryType(), False),
+        T.StructField("dls", T.BinaryType(), False),
+        T.StructField("pos_blob", T.BinaryType(), True),
+        T.StructField("max_tf", T.IntegerType(), False),
+        T.StructField("ub", T.DoubleType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+    ]
+)
+
+
+@dataclass
+class IndexConfig:
+    field: str = FIELD_PATTERNS
+    n_buckets: int = 16
+    range_size: int = 1 << 20          # docs per WAND scatter range
+    chunk_size: int = 1 << 18          # docs per tokenize/resume chunk
+    chunks_per_wave: int = 8           # chunks committed per manifest snapshot
+    salt_threshold: int = 1 << 20      # df above which a term is salted
+    max_salts: int = 64
+    with_positions: bool = True
+
+
+class IndexWriter:
+    """Resumable index build (reference analog: index_workspace
+    pipeline, Services/FileIndexingService.cs:107-346)."""
+
+    def __init__(self, spark: SparkSession, root: str, config: IndexConfig | None = None):
+        self.spark = spark
+        self.root = root
+        self.cfg = config or IndexConfig()
+        self.manifest = Manifest.load_or_create(root)
+
+    # ------------------------------------------------ stage 1: tokens
+
+    def _tokenize_wave(self, docs: DataFrame, chunk_ids: list[int], id_col: str, text_col: str) -> dict:
+        cfg = self.cfg
+        wave_docs = docs.filter(
+            (F.col(id_col) / cfg.chunk_size).cast("long").isin(chunk_ids)
+        )
+        toks = tokenize_docs(wave_docs, cfg.field, id_col, text_col)
+        agg = [F.count(F.lit(1)).alias("tf")]
+        if cfg.with_positions:
+            agg.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+        postings = toks.groupBy("term", "doc_id").agg(*agg).withColumn(
+            "chunk_id", (F.col("doc_id") / cfg.chunk_size).cast("long")
+        )
+        postings.write.partitionBy("chunk_id").mode("append").parquet(
+            os.path.join(self.root, "tokens")
+        )
+        doclens = (
+            wave_docs.select(F.col(id_col).alias("doc_id"))
+            .join(
+                toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")),
+                "doc_id",
+                "left",
+            )
+            .fillna(0, subset=["dl"])
+            .withColumn("chunk_id", (F.col("doc_id") / cfg.chunk_size).cast("long"))
+        )
+        doclens.write.partitionBy("chunk_id").mode("append").parquet(
+            os.path.join(self.root, "doclens")
+        )
+        n = wave_docs.count()
+        return {"n_docs": n}
+
+    def tokenize_stage(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
+        cfg = self.cfg
+        bounds = docs.agg(
+            F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+        ).collect()[0]
+        all_chunks = list(
+            range(int(bounds["lo"]) // cfg.chunk_size, int(bounds["hi"]) // cfg.chunk_size + 1)
+        )
+        done = {int(u) for u in self.manifest.completed_units("tokens")}
+        todo = [c for c in all_chunks if c not in done]
+        for i in range(0, len(todo), cfg.chunks_per_wave):
+            wave = todo[i : i + cfg.chunks_per_wave]
+            t0 = time.perf_counter()
+            metrics = self._tokenize_wave(docs, wave, id_col, text_col)
+            dt = time.perf_counter() - t0
+            for c in wave:
+                self.manifest.record_unit(
+                    "tokens",
+                    str(c),
+                    {
+                        "inputs": {"id_range": [c * cfg.chunk_size, (c + 1) * cfg.chunk_size]},
+                        "wave_docs": metrics["n_docs"],
+                        "wave_secs": round(dt, 3),
+                    },
+                )
+            self.manifest.commit()
+
+    # --------------------------------------------- stage 2: dictionary
+
+    def dictionary_stage(self) -> None:
+        if "dictionary" in self.manifest.completed_units("dictionary"):
+            return
+        cfg = self.cfg
+        tokens = self.spark.read.parquet(os.path.join(self.root, "tokens"))
+        doclens = self.spark.read.parquet(os.path.join(self.root, "doclens"))
+        dictionary = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        dictionary = dictionary.select(
+            "term",
+            "df",
+            F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int").alias("bucket"),
+            F.least(
+                F.greatest(
+                    F.ceil(F.col("df") / cfg.salt_threshold).cast("int"), F.lit(1)
+                ),
+                F.lit(cfg.max_salts),
+            ).alias("n_salts"),
+        )
+        dictionary.repartition(1).write.mode("overwrite").parquet(
+            os.path.join(self.root, "dictionary")
+        )
+        stats = doclens.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("dl").alias("avgdl"),
+            F.sum("dl").alias("total_tokens"),
+        ).collect()[0]
+        n_terms = dictionary.count()
+        self.manifest.set_stats(
+            "corpus",
+            {
+                "field": cfg.field,
+                "n_docs": int(stats["n"]),
+                "avgdl": float(stats["avgdl"] or 0.0),
+                "total_tokens": int(stats["total_tokens"] or 0),
+                "n_terms": int(n_terms),
+            },
+        )
+        self.manifest.record_unit("dictionary", "dictionary", {"n_terms": int(n_terms)})
+        self.manifest.commit()
+
+    # ----------------------------------------------- stage 3: postings
+
+    def postings_stage(self) -> None:
+        cfg = self.cfg
+        corpus = self.manifest.get_stats("corpus")
+        n_docs, avgdl = corpus["n_docs"], corpus["avgdl"]
+        done = {int(u) for u in self.manifest.completed_units("postings")}
+        todo = [b for b in range(cfg.n_buckets) if b not in done]
+        if not todo:
+            return
+
+        tokens = self.spark.read.parquet(os.path.join(self.root, "tokens"))
+        doclens = self.spark.read.parquet(os.path.join(self.root, "doclens")).drop(
+            "chunk_id"
+        )
+        dictionary = self.spark.read.parquet(os.path.join(self.root, "dictionary"))
+
+        range_size = cfg.range_size
+        with_pos = cfg.with_positions and "positions" in tokens.columns
+
+        def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            """One (term, salt) posting sub-list -> encoded block rows.
+            Blocks are built per range_id so they never cross ranges."""
+            out_rows = []
+            term = pdf["term"].iloc[0]
+            salt = int(pdf["salt"].iloc[0])
+            bucket = int(pdf["bucket"].iloc[0])
+            df_t = int(pdf["df"].iloc[0])
+            idf = idf_py(df_t, n_docs)
+            pdf = pdf.sort_values("doc_id")
+            for range_id, grp in pdf.groupby("range_id", sort=True):
+                doc_ids = grp["doc_id"].to_numpy(np.int64)
+                tfs = grp["tf"].to_numpy(np.int64)
+                dls = grp["dl"].to_numpy(np.float64)
+                blocks = encode_blocks(doc_ids, tfs, dls, idf, avgdl)
+                if with_pos:
+                    positions = grp["positions"].tolist()
+                for bi, blk in enumerate(blocks):
+                    blk["dls"] = varint_encode(
+                        grp["dl"].to_numpy(np.uint64)[
+                            bi * BLOCK_SIZE : (bi + 1) * BLOCK_SIZE
+                        ]
+                    )
+                    if with_pos:
+                        deltas = []
+                        for plist in positions[bi * BLOCK_SIZE : (bi + 1) * BLOCK_SIZE]:
+                            arr = np.asarray(plist, dtype=np.int64)
+                            d = np.empty(len(arr), dtype=np.uint64)
+                            if len(arr):
+                                d[0] = arr[0] + 1
+                                d[1:] = np.diff(arr)
+                            deltas.append(d)
+                        blk["pos_blob"] = varint_encode(
+                            np.concatenate(deltas) if deltas else np.empty(0, np.uint64)
+                        )
+                    else:
+                        blk["pos_blob"] = None
+                    out_rows.append(
+                        {
+                            "term": term,
+                            "salt": salt,
+                            "range_id": int(range_id),
+                            "bucket": bucket,
+                            **blk,
+                        }
+                    )
+            return pd.DataFrame(
+                out_rows,
+                columns=[f.name for f in POSTING_SCHEMA.fields],
+            )
+
+        base = (
+            tokens.filter(
+                F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int").isin(todo)
+            )
+            .join(doclens, "doc_id")
+            .join(F.broadcast(dictionary), "term")
+            .withColumn("range_id", (F.col("doc_id") / range_size).cast("long"))
+            .withColumn(
+                "salt", F.pmod(F.col("range_id"), F.col("n_salts")).cast("int")
+            )
+        )
+        cols = ["term", "salt", "bucket", "df", "range_id", "doc_id", "tf", "dl"]
+        if with_pos:
+            cols.append("positions")
+        t0 = time.perf_counter()
+        encoded = (
+            base.select(*cols)
+            .groupBy("term", "salt")  # THE salted repartition-by-term shuffle
+            .applyInPandas(encode_group, POSTING_SCHEMA)
+        )
+        (
+            encoded.repartition("bucket")
+            .sortWithinPartitions("term", "salt", "range_id", "block_no")
+            .write.partitionBy("bucket")
+            .mode("append")
+            .parquet(os.path.join(self.root, "postings"))
+        )
+        dt = time.perf_counter() - t0
+        for b in todo:
+            self.manifest.record_unit(
+                "postings",
+                str(b),
+                {"inputs": {"buckets": todo}, "wave_secs": round(dt, 3)},
+            )
+        self.manifest.commit()
+
+    # ------------------------------------------------------- pipeline
+
+    def build(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Manifest:
+        self.tokenize_stage(docs, id_col, text_col)
+        self.dictionary_stage()
+        self.postings_stage()
+        counts = {
+            "postings_blocks": self.spark.read.parquet(
+                os.path.join(self.root, "postings")
+            ).count(),
+        }
+        self.manifest.set_stats("postings", counts)
+        self.manifest.commit()
+        return self.manifest
+
+
+class IndexReader:
+    """Query-side access: pruned posting reads + corpus stats."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.manifest = Manifest.load_or_create(root)
+        corpus = self.manifest.get_stats("corpus")
+        if not corpus:
+            raise ValueError(f"no built index at {root}")
+        self.n_docs: int = corpus["n_docs"]
+        self.avgdl: float = corpus["avgdl"]
+        self.field: str = corpus["field"]
+
+    def dictionary(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.root, "dictionary"))
+
+    def lookup_terms(self, terms: list[str]) -> dict[str, dict]:
+        rows = self.dictionary().filter(F.col("term").isin(list(set(terms)))).collect()
+        return {
+            r["term"]: {
+                "df": r["df"],
+                "bucket": r["bucket"],
+                "n_salts": r["n_salts"],
+                "idf": idf_py(r["df"], self.n_docs),
+            }
+            for r in rows
+        }
+
+    def postings_blocks(self, terms: list[str]) -> tuple[DataFrame, dict[str, dict]]:
+        """Block rows for the given terms. Directory pruning on bucket
+        + parquet row-group pruning on the term predicate."""
+        info = self.lookup_terms(terms)
+        buckets = sorted({v["bucket"] for v in info.values()})
+        if not buckets:
+            empty = self.spark.createDataFrame([], POSTING_SCHEMA)
+            return empty, info
+        blocks = (
+            self.spark.read.parquet(os.path.join(self.root, "postings"))
+            .filter(F.col("bucket").isin(buckets))
+            .filter(F.col("term").isin(sorted(info)))
+        )
+        return blocks, info

@@ -1,0 +1,254 @@
+"""Distributed search over the materialized index: scatter-gather
+block-max WAND.
+
+Flow per query (SURVEY §3.1 step 9c — the executor-side scatter):
+
+  dictionary lookup (tiny, collected)            [driver]
+  postings blocks: bucket-pruned + term-pruned   [parquet scan]
+  repartition by range_id                        [narrow shuffle of the
+                                                  candidate block set —
+                                                  proportional to query
+                                                  terms only, never the
+                                                  whole index]
+  applyInPandas(WAND per doc range) -> local k   [executors]
+  global top-k merge                             [TakeOrderedAndProject]
+
+Salted hot terms need no special handling at read: a (term, range)
+pair lives in exactly one salt sub-list, so grouping by range_id
+reassembles disjoint doc ranges.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..index.store import IndexReader
+from .bm25 import idf_py
+from .executor import MAX_CLAUSE_COUNT
+from .wand import wand_topk
+
+_RESULT_SCHEMA = "doc_id long, score double"
+
+
+class StoreSearcher:
+    """BM25 top-k over an on-disk index. Same result contract as the
+    logical Searcher: (doc_id, score) by (rounded score desc, doc_id)."""
+
+    def __init__(self, reader: IndexReader):
+        self.reader = reader
+
+    # ------------------------------------------------------ core path
+
+    def _wand_search(
+        self,
+        terms: list[str],
+        k: int,
+        mode: str,
+        exclude: list[str] | None = None,
+    ) -> DataFrame:
+        terms = sorted(set(terms))
+        exclude = sorted(set(exclude or []))
+        blocks, info = self.reader.postings_blocks(terms + exclude)
+        present = [t for t in terms if t in info]
+        if not present or (mode == "and" and len(present) < len(terms)):
+            return self._empty()
+
+        idfs = {t: info[t]["idf"] for t in present}
+        exclude_set = set(exclude)
+        avgdl = self.reader.avgdl
+        kk = k
+
+        def per_range(pdf: pd.DataFrame) -> pd.DataFrame:
+            term_blocks: dict[str, tuple[float, list[dict]]] = {}
+            banned: set[int] = set()
+            for term, grp in pdf.groupby("term", sort=True):
+                rows = grp.sort_values("block_no").to_dict("records")
+                if term in exclude_set:
+                    from ..index.codec import decode_blocks
+
+                    doc_ids, _ = decode_blocks(rows)
+                    banned.update(int(d) for d in doc_ids)
+                else:
+                    term_blocks[term] = (idfs[term], rows)
+            # WAND needs k + |banned-overlap| slack; simplest exact
+            # approach: fetch k + len(banned) then filter
+            slack_k = kk + len(banned)
+            hits = wand_topk(term_blocks, avgdl, slack_k, mode=mode)
+            hits = [(d, s) for d, s in hits if d not in banned][:kk]
+            return pd.DataFrame(hits, columns=["doc_id", "score"])
+
+        local = (
+            blocks.repartition("range_id")
+            .groupBy("range_id")
+            .applyInPandas(lambda key, pdf: per_range(pdf), _RESULT_SCHEMA)
+        )
+        return (
+            local.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search_term(self, term: str, k: int = 10) -> DataFrame:
+        return self._wand_search([term], k, "or")
+
+    def search_or(
+        self, terms: list[str], k: int = 10, exclude: list[str] | None = None
+    ) -> DataFrame:
+        return self._wand_search(terms, k, "or", exclude)
+
+    def search_and(
+        self, terms: list[str], k: int = 10, exclude: list[str] | None = None
+    ) -> DataFrame:
+        return self._wand_search(terms, k, "and", exclude)
+
+    # -------------------------------------------------------- phrase
+
+    def search_phrase(self, terms: list[str], k: int = 10, slop: int = 0) -> DataFrame:
+        """Positional phrase over the encoded pos_blob columns.
+
+        Pass 1 (distributed): per range, intersect candidates and count
+        in-order matches within span (same pinned spec as the logical
+        engine). Pass 2: BM25 with the phrase as a pseudo-term.
+        """
+        if not terms:
+            raise ValueError("empty phrase")
+        if len(terms) == 1:
+            return self.search_term(terms[0], k)
+        uniq = sorted(set(terms))
+        blocks, info = self.reader.postings_blocks(uniq)
+        if any(t not in info for t in uniq):
+            return self._empty()
+        n = len(terms)
+        max_span = (n - 1) + slop
+        seq = list(terms)
+
+        def per_range(pdf: pd.DataFrame) -> pd.DataFrame:
+            from ..index.codec import varint_decode, decode_blocks
+            import numpy as np
+
+            # decode (doc -> positions) per term in this range
+            per_term_pos: dict[str, dict[int, list[int]]] = {}
+            per_doc_dl: dict[int, int] = {}
+            for term, grp in pdf.groupby("term", sort=True):
+                rows = grp.sort_values("block_no").to_dict("records")
+                doc_ids, tfs = decode_blocks(rows)
+                dls = np.concatenate(
+                    [varint_decode(r["dls"], r["n"]) for r in rows]
+                ).astype(np.int64)
+                pos_all = np.concatenate(
+                    [
+                        varint_decode(r["pos_blob"], int(tfs_sum))
+                        for r, tfs_sum in zip(
+                            rows,
+                            [
+                                varint_decode(r["tfs"], r["n"]).sum()
+                                for r in rows
+                            ],
+                        )
+                    ]
+                ).astype(np.int64) if len(rows) else np.empty(0, np.int64)
+                mapping: dict[int, list[int]] = {}
+                off = 0
+                for d, tf, dl in zip(doc_ids, tfs, dls):
+                    deltas = pos_all[off : off + tf]
+                    off += tf
+                    pos = np.cumsum(deltas) - 1
+                    mapping[int(d)] = pos.tolist()
+                    per_doc_dl[int(d)] = int(dl)
+                per_term_pos[term] = mapping
+            if any(t not in per_term_pos for t in seq):
+                return pd.DataFrame(columns=["doc_id", "phrase_tf", "dl"])
+            cand = set(per_term_pos[seq[0]])
+            for t in seq[1:]:
+                cand &= set(per_term_pos[t])
+            out = []
+            for d in sorted(cand):
+                count = 0
+                for start in per_term_pos[seq[0]][d]:
+                    prev = start
+                    ok = True
+                    for t in seq[1:]:
+                        nxt = next(
+                            (
+                                q
+                                for q in per_term_pos[t][d]
+                                if q > prev and q - start <= max_span
+                            ),
+                            None,
+                        )
+                        if nxt is None:
+                            ok = False
+                            break
+                        prev = nxt
+                    if ok:
+                        count += 1
+                if count:
+                    out.append((d, count, per_doc_dl[d]))
+            return pd.DataFrame(out, columns=["doc_id", "phrase_tf", "dl"])
+
+        cand = (
+            blocks.repartition("range_id")
+            .groupBy("range_id")
+            .applyInPandas(
+                lambda key, pdf: per_range(pdf),
+                "doc_id long, phrase_tf long, dl long",
+            )
+        ).cache()
+        phrase_df = cand.count() or 1
+        from .bm25 import bm25_contrib
+
+        scored = cand.select(
+            "doc_id",
+            F.round(
+                bm25_contrib(
+                    F.col("phrase_tf"),
+                    F.lit(phrase_df),
+                    F.col("dl"),
+                    self.reader.n_docs,
+                    self.reader.avgdl,
+                ),
+                4,
+            ).alias("score"),
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    # --------------------------------------- dictionary expansions
+
+    def _expand(self, predicate) -> list[str]:
+        rows = (
+            self.reader.dictionary()
+            .filter(predicate)
+            .select("term")
+            .orderBy("term")
+            .limit(MAX_CLAUSE_COUNT)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def search_wildcard(self, pattern: str, k: int = 10) -> DataFrame:
+        from ..functions.text import glob_to_regex
+
+        terms = self._expand(F.col("term").rlike(glob_to_regex(pattern)))
+        return self.search_or(terms, k) if terms else self._empty()
+
+    def search_regexp(self, pattern: str, k: int = 10) -> DataFrame:
+        terms = self._expand(F.col("term").rlike(f"^(?:{pattern})$"))
+        return self.search_or(terms, k) if terms else self._empty()
+
+    def search_fuzzy(self, term: str, k: int = 10, max_edits: int = 2) -> DataFrame:
+        pred = (
+            (F.length("term") >= len(term) - max_edits)
+            & (F.length("term") <= len(term) + max_edits)
+            & (F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
+        )
+        terms = self._expand(pred)
+        return self.search_or(terms, k) if terms else self._empty()
+
+    def search_prefix(self, prefix: str, k: int = 10) -> DataFrame:
+        terms = self._expand(F.col("term").startswith(prefix))
+        return self.search_or(terms, k) if terms else self._empty()
+
+    def _empty(self) -> DataFrame:
+        return self.reader.spark.createDataFrame([], _RESULT_SCHEMA)

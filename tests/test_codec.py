@@ -1,0 +1,55 @@
+import numpy as np
+
+from coa_codesearch_mcp_spark.index.codec import (
+    decode_block,
+    decode_blocks,
+    encode_blocks,
+    varint_decode,
+    varint_encode,
+)
+
+
+def test_varint_roundtrip():
+    rng = np.random.RandomState(42)
+    vals = rng.randint(0, 1 << 40, size=1000).astype(np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(vals), 1000), vals)
+
+
+def test_varint_edge_values():
+    vals = np.array([0, 1, 127, 128, 255, 1 << 35], dtype=np.uint64)
+    assert np.array_equal(varint_decode(varint_encode(vals), len(vals)), vals)
+
+
+def test_block_roundtrip_multi_block():
+    rng = np.random.RandomState(7)
+    n = 300  # spans 3 blocks of 128
+    doc_ids = np.sort(rng.choice(10_000, size=n, replace=False)).astype(np.int64)
+    tfs = rng.randint(1, 50, size=n).astype(np.int64)
+    dls = rng.randint(10, 500, size=n).astype(np.float64)
+    blocks = encode_blocks(doc_ids, tfs, dls, idf=1.5, avgdl=100.0)
+    assert len(blocks) == 3
+    assert blocks[0]["n"] == 128 and blocks[2]["n"] == 44
+    got_docs, got_tfs = decode_blocks(blocks)
+    assert np.array_equal(got_docs, doc_ids)
+    assert np.array_equal(got_tfs, tfs)
+    # skip pointers
+    assert blocks[1]["first_doc"] == int(doc_ids[128])
+    assert blocks[1]["last_doc"] == int(doc_ids[255])
+    # block-max ub bounds every contribution in the block
+    from coa_codesearch_mcp_spark.query.bm25 import B, K1
+
+    for bi, blk in enumerate(blocks):
+        t = tfs[bi * 128 : (bi + 1) * 128].astype(float)
+        d = dls[bi * 128 : (bi + 1) * 128]
+        contrib = 1.5 * t * (K1 + 1) / (t + K1 * (1 - B + B * d / 100.0))
+        assert blk["ub"] >= contrib.max() - 1e-12
+
+
+def test_single_block_decode_standalone():
+    doc_ids = np.array([5, 9, 100], dtype=np.int64)
+    tfs = np.array([1, 2, 3], dtype=np.int64)
+    dls = np.array([10.0, 20.0, 30.0])
+    blocks = encode_blocks(doc_ids, tfs, dls, idf=1.0, avgdl=20.0)
+    d, t = decode_block(blocks[0]["doc_gaps"], blocks[0]["tfs"], 3, -1)
+    assert list(d) == [5, 9, 100]
+    assert list(t) == [1, 2, 3]
