@@ -259,6 +259,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(25)
         )
 
+    def q13_routed_wildcard(spark, sf):
+        # full facade: auto routing ('fast*' -> pattern mode ->
+        # content_patterns) + wildcard expansion + BM25 top-k
+        from coa_codesearch_mcp_spark.query.engine import TextSearchEngine
+
+        eng = TextSearchEngine(
+            {
+                "content": _searcher(spark, sf, "content"),
+                "content_patterns": _searcher(spark, sf, "content_patterns"),
+            }
+        )
+        return eng.search("fast*", k=10).hits
+
+    def q12_exact_mode(spark, sf):
+        # explicit exact mode -> literal query build -> AND of terms on
+        # the content (code) chain; on this corpus (plain [a-z0-9 ]
+        # text) the code chain tokenizes identically to whitespace, so
+        # the whitespace SQL oracle is exact
+        from coa_codesearch_mcp_spark.query.engine import TextSearchEngine
+
+        eng = TextSearchEngine({"content": _searcher(spark, sf, "content")})
+        return eng.search("fast key", mode="exact", k=10).hits
+
     def q1_term_wand(spark, sf):
         return _store_searcher(spark, sf).search_term("spark", k=10)
 
@@ -273,6 +296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         "q1_term_bm25": q1_term,
+        "q13_routed_wildcard": q13_routed_wildcard,
+        "q12_exact_mode": q12_exact_mode,
         "q1_term_bm25_wand": q1_term_wand,
         "q2_and_bm25_wand": q2_and_wand,
         "q3_or_bm25_wand": q3_or_wand,
@@ -413,6 +438,12 @@ LIMIT 25
 """,
     }
     # store/WAND paths share the logical paths' oracles (same spec)
+    sql["q13_routed_wildcard"] = _sql_bm25(
+        "p.term IN (SELECT term FROM dfreq WHERE regexp_matches(term, '^fast.*$'))"
+    )
+    sql["q12_exact_mode"] = _sql_bm25(
+        "p.term IN ('fast', 'key')", having="HAVING count(*) = 2"
+    )
     sql["q1_term_bm25_wand"] = sql["q1_term_bm25"]
     sql["q2_and_bm25_wand"] = sql["q2_and_bm25"]
     sql["q3_or_bm25_wand"] = sql["q3_or_bm25"]

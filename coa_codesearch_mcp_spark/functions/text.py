@@ -46,14 +46,16 @@ def extract_text_from_html(html: bytes) -> str:
     """Deterministic HTML -> text extractor (per-row invariant: the
     same url always yields byte-identical text).
 
-    Pinned spec: decode utf-8 (errors=replace), strip tags, collapse
+    Pinned spec: decode utf-8 (errors=replace), strip tags, unescape
+    the three core entities (&lt; &gt; &amp; — last), collapse
     whitespace runs to single spaces, strip ends. The synthetic corpus
-    wraps text in a trivial deterministic template so this is testable
-    byte-for-byte (FIXTURES.md §1).
+    wraps entity-escaped text in a deterministic template so this is
+    testable byte-for-byte (FIXTURES.md §1).
     """
     s = html.decode("utf-8", errors="replace")
     s = _TAG_RE.sub(" ", s)
-    return _WS_RE.sub(" ", s).strip()
+    s = _WS_RE.sub(" ", s).strip()
+    return s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
 
 
 # ----------------------------------------------------- text analysis

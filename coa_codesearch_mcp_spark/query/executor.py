@@ -240,6 +240,122 @@ class Searcher:
         terms = self.expand_terms(F.col("term").startswith(prefix))
         return self.search_or(terms, k) if terms else self._empty()
 
+    # ---------------- AST evaluation ----------------
+
+    def execute(self, q, k: int = 10) -> DataFrame:
+        """Evaluate a planner AST (query/ast.py) to top-k."""
+        from .ast import BoolQ, FuzzyQ, MatchAllQ, PhraseQ, RegexpQ, TermQ, WildcardQ
+
+        if isinstance(q, TermQ):
+            return self.search_term(q.term, k)
+        if isinstance(q, PhraseQ):
+            return self.search_phrase(q.terms, k, slop=q.slop)
+        if isinstance(q, WildcardQ):
+            return self.search_wildcard(q.pattern, k)
+        if isinstance(q, FuzzyQ):
+            return self.search_fuzzy(q.term, k, q.max_edits)
+        if isinstance(q, RegexpQ):
+            return self.search_regexp(q.pattern, k)
+        if isinstance(q, MatchAllQ):
+            return self._topk(
+                self.ix.doclens.select("doc_id", F.lit(1.0).alias("score")), k
+            )
+        if isinstance(q, BoolQ):
+            return self._execute_bool(q, k)
+        raise TypeError(f"unknown query node {type(q)}")
+
+    def _clause_scores(self, q) -> DataFrame:
+        """Full (doc_id, contrib) relation for one flat clause."""
+        from .ast import BoolQ, FuzzyQ, PhraseQ, RegexpQ, TermQ, WildcardQ
+        from ..functions.text import glob_to_regex
+
+        if isinstance(q, TermQ):
+            return self._scored([q.term]).select("doc_id", "contrib")
+        if isinstance(q, BoolQ) and q.should and not q.must and not q.must_not:
+            terms = [c.term for c in q.should if isinstance(c, TermQ)]
+            return (
+                self._scored(terms)
+                .groupBy("doc_id")
+                .agg(F.sum("contrib").alias("contrib"))
+            )
+        if isinstance(q, WildcardQ):
+            terms = self.expand_terms(
+                F.col("term").rlike(glob_to_regex(q.pattern))
+            )
+            return (
+                self._scored(terms)
+                .groupBy("doc_id")
+                .agg(F.sum("contrib").alias("contrib"))
+            )
+        if isinstance(q, FuzzyQ):
+            cand = self.ix.dictionary.filter(
+                (F.length("term") >= len(q.term) - q.max_edits)
+                & (F.length("term") <= len(q.term) + q.max_edits)
+                & (F.levenshtein(F.col("term"), F.lit(q.term)) <= q.max_edits)
+            )
+            terms = [
+                r["term"]
+                for r in cand.select("term").orderBy("term")
+                .limit(MAX_CLAUSE_COUNT).collect()
+            ]
+            return (
+                self._scored(terms)
+                .groupBy("doc_id")
+                .agg(F.sum("contrib").alias("contrib"))
+            )
+        if isinstance(q, RegexpQ):
+            terms = self.expand_terms(F.col("term").rlike(f"^(?:{q.pattern})$"))
+            return (
+                self._scored(terms)
+                .groupBy("doc_id")
+                .agg(F.sum("contrib").alias("contrib"))
+            )
+        if isinstance(q, PhraseQ):
+            return self.search_phrase(q.terms, k=2_000_000_000, slop=q.slop).select(
+                "doc_id", F.col("score").alias("contrib")
+            )
+        raise TypeError(f"unsupported clause {type(q)}")
+
+    def _execute_bool(self, q, k: int) -> DataFrame:
+        """Flat boolean: doc matches all MUST, no MUST_NOT; score sums
+        matching MUST + SHOULD contributions (Lucene semantics)."""
+        parts = []
+        for i, clause in enumerate(q.must):
+            parts.append(
+                self._clause_scores(clause).select(
+                    "doc_id", "contrib", F.lit(i).alias("clause"),
+                    F.lit(True).alias("is_must"),
+                )
+            )
+        for j, clause in enumerate(q.should):
+            parts.append(
+                self._clause_scores(clause).select(
+                    "doc_id", "contrib", F.lit(1000 + j).alias("clause"),
+                    F.lit(False).alias("is_must"),
+                )
+            )
+        if not parts:
+            return self._empty()
+        allc = parts[0]
+        for p in parts[1:]:
+            allc = allc.unionByName(p)
+        agg = allc.groupBy("doc_id").agg(
+            F.sum("contrib").alias("score"),
+            F.count_distinct(
+                F.when(F.col("is_must"), F.col("clause"))
+            ).alias("n_must"),
+        )
+        if q.must:
+            agg = agg.filter(F.col("n_must") == len(q.must))
+        out = agg.select("doc_id", "score")
+        if q.must_not:
+            banned = None
+            for clause in q.must_not:
+                b = self._clause_scores(clause).select("doc_id")
+                banned = b if banned is None else banned.unionByName(b)
+            out = out.join(banned.distinct(), "doc_id", "left_anti")
+        return self._topk(out, k)
+
     # ---------------- helpers ----------------
 
     def _topk(self, scored: DataFrame, k: int) -> DataFrame:
