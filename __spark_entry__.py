@@ -234,6 +234,107 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("doc_id")
         )
 
+    def dedup_jaccard_pairs(spark, sf):
+        # exact n-gram Jaccard near-dup pairs (verification primitive
+        # behind MinHash LSH); threshold keeps output small
+        from coa_codesearch_mcp_spark.functions.dedup import (
+            ngram_jaccard,
+            shingles_col,
+        )
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        base = docs.select("doc_id", shingles_col("text", 2).alias("sh"))
+        a, b = base.alias("a"), base.alias("b")
+        return (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.round(ngram_jaccard(F.col("a.sh"), F.col("b.sh")), 4).alias(
+                    "jaccard"
+                ),
+            )
+            .filter(F.col("jaccard") >= 0.4)
+            .orderBy("doc_a", "doc_b")
+        )
+
+    def dedup_minhash_lsh(spark, sf):
+        # probabilistic banding -> candidate pairs w/ exact verify;
+        # rows-only check (banding is not SQL-expressible)
+        from coa_codesearch_mcp_spark.functions.dedup import minhash_lsh_candidates
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return minhash_lsh_candidates(docs, ngram=2).filter(
+            F.col("jaccard") >= 0.4
+        ).orderBy("doc_a", "doc_b")
+
+    def dedup_simhash(spark, sf):
+        from coa_codesearch_mcp_spark.functions.dedup import simhash_near_dups
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return simhash_near_dups(docs, max_hamming=8).orderBy("doc_a", "doc_b")
+
+    def knn_lsh_ann(spark, sf):
+        from coa_codesearch_mcp_spark.functions.similarity import knn_lsh
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        return knn_lsh(emb, [float(x) for x in q], k=10, n_probes=4)
+
+    def lang_id_counts(spark, sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        from coa_codesearch_mcp_spark.functions.text import _LANG_MARKERS
+
+        words = F.slice(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")),
+            1,
+            200,
+        )
+        wl = F.array_distinct(F.transform(words, F.lower))
+        hits = {
+            lang: F.size(
+                F.array_intersect(wl, F.array(*[F.lit(w) for w in sorted(ws)]))
+            )
+            for lang, ws in _LANG_MARKERS.items()
+        }
+        best = F.greatest(*hits.values())
+        pred = F.when(best == 0, F.lit("und"))
+        for lang in sorted(hits):  # alphabetical tie-break
+            pred = pred.when(hits[lang] == best, F.lit(lang))
+        return (
+            docs.select(pred.alias("lang_pred"))
+            .groupBy("lang_pred")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("lang_pred")
+        )
+
+    def token_count_bpe(spark, sf):
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        pat = r"[A-Za-z]{1,8}|[0-9]{1,3}|[^\sA-Za-z0-9]"
+        return docs.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).alias(
+                "n_bpe"
+            ),
+        ).orderBy("doc_id")
+
+    def recent_events_timeframe(spark, sf):
+        # T11: '2d' timeframe parse -> cutoff filter vs corpus max ts
+        from coa_codesearch_mcp_spark.functions.text import parse_timeframe_seconds
+
+        secs = parse_timeframe_seconds("2d")
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        cutoff = ev.agg(F.max("ts").alias("m")).first()["m"]
+        import datetime
+
+        lo = cutoff - datetime.timedelta(seconds=secs)
+        return (
+            ev.filter(F.col("ts") >= F.lit(lo))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+            .orderBy("event_type")
+        )
+
     def rel_agg_lineitem(spark, sf):
         li = spark.read.parquet(f"{sf}/lineitem.parquet")
         return (
@@ -315,6 +416,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_recent_events": o3_recent_events,
         "q16_knn_cosine": q16_knn_cosine,
         "dedup_exact": dedup_exact,
+        "dedup_jaccard_pairs": dedup_jaccard_pairs,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "knn_lsh_ann": knn_lsh_ann,
+        "lang_id_counts": lang_id_counts,
+        "token_count_bpe": token_count_bpe,
+        "recent_events_timeframe": recent_events_timeframe,
         "text_quality": text_quality,
         "rel_agg_lineitem": rel_agg_lineitem,
         "rel_join_topcust": rel_join_topcust,
@@ -438,6 +546,73 @@ LIMIT 25
 """,
     }
     # store/WAND paths share the logical paths' oracles (same spec)
+    sql["dedup_jaccard_pairs"] = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(words), 2)),
+           i -> words[i] || ' ' || words[i+1])) AS sh
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '\s+'),
+                           x -> x <> '') AS words
+        FROM documents)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM w a JOIN w b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+      / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.4
+ORDER BY doc_a, doc_b
+"""
+    from coa_codesearch_mcp_spark.functions.text import _LANG_MARKERS
+
+    markers = {
+        lang: "[" + ", ".join(f"'{w}'" for w in sorted(ws)) + "]"
+        for lang, ws in _LANG_MARKERS.items()
+    }
+    case_branches = "\n".join(
+        f"    WHEN h_{lang} = best THEN '{lang}'" for lang in sorted(markers)
+    )
+    hit_cols = ",\n".join(
+        f"    len(list_intersect(wl, {markers[lang]})) AS h_{lang}"
+        for lang in sorted(markers)
+    )
+    sql["lang_id_counts"] = rf"""
+WITH w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(words[1:200], x -> lower(x))) AS wl
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\s+'),
+                           x -> x <> '') AS words
+        FROM documents)
+),
+h AS (
+  SELECT doc_id,
+{hit_cols}
+  FROM w
+),
+b AS (
+  SELECT doc_id, greatest(h_de, h_en, h_es, h_fr) AS best, h_de, h_en, h_es, h_fr
+  FROM h
+)
+SELECT CASE WHEN best = 0 THEN 'und'
+{case_branches}
+       END AS lang_pred,
+       count(*) AS n
+FROM b GROUP BY 1 ORDER BY 1
+"""
+    sql["token_count_bpe"] = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]{1,8}|[0-9]{1,3}|[^\sA-Za-z0-9]')) AS n_bpe
+FROM documents ORDER BY doc_id
+"""
+    sql["recent_events_timeframe"] = """
+WITH cutoff AS (SELECT max(ts) - INTERVAL 2 DAY AS lo FROM events)
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+FROM events, cutoff WHERE ts >= lo
+GROUP BY event_type ORDER BY event_type
+"""
     sql["q13_routed_wildcard"] = _sql_bm25(
         "p.term IN (SELECT term FROM dfreq WHERE regexp_matches(term, '^fast.*$'))"
     )
