@@ -335,6 +335,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("event_type")
         )
 
+    def q17_call_path(spark, sf):
+        # Q17 recursive traversal: BFS over a derived directed graph
+        # (customer -> order -> part), reference analog: the call-path
+        # recursive CTE (CallPathTracerService.cs:407-471)
+        from coa_codesearch_mcp_spark.functions.tools_ops import call_path_bfs
+
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        e1 = o.select(
+            F.col("o_custkey").alias("src"),
+            (F.col("o_orderkey") + 1_000_000_000).alias("dst"),
+        )
+        e2 = li.select(
+            (F.col("l_orderkey") + 1_000_000_000).alias("src"),
+            (F.col("l_partkey") + 2_000_000_000).alias("dst"),
+        )
+        edges = e1.unionByName(e2)
+        return call_path_bfs(edges, [1], max_depth=2).select(
+            "node", "depth", "parent"
+        )
+
     def rel_agg_lineitem(spark, sf):
         li = spark.read.parquet(f"{sf}/lineitem.parquet")
         return (
@@ -423,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_counts": lang_id_counts,
         "token_count_bpe": token_count_bpe,
         "recent_events_timeframe": recent_events_timeframe,
+        "q17_call_path": q17_call_path,
         "text_quality": text_quality,
         "rel_agg_lineitem": rel_agg_lineitem,
         "rel_join_topcust": rel_join_topcust,
@@ -612,6 +634,25 @@ WITH cutoff AS (SELECT max(ts) - INTERVAL 2 DAY AS lo FROM events)
 SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
 FROM events, cutoff WHERE ts >= lo
 GROUP BY event_type ORDER BY event_type
+"""
+    sql["q17_call_path"] = """
+WITH RECURSIVE edges AS (
+  SELECT o_custkey AS src, o_orderkey + 1000000000 AS dst FROM orders
+  UNION ALL
+  SELECT l_orderkey + 1000000000 AS src, l_partkey + 2000000000 AS dst FROM lineitem
+),
+walk(node, depth, parent) AS (
+  SELECT CAST(1 AS BIGINT), 0, CAST(NULL AS BIGINT)
+  UNION ALL
+  SELECT e.dst, w.depth + 1, w.node
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.depth < 2
+),
+m AS (SELECT node, min(depth) AS depth FROM walk GROUP BY node)
+SELECT m.node, m.depth, min(w.parent) AS parent
+FROM m JOIN walk w ON w.node = m.node AND w.depth = m.depth
+GROUP BY m.node, m.depth
+ORDER BY m.depth, m.node
 """
     sql["q13_routed_wildcard"] = _sql_bm25(
         "p.term IN (SELECT term FROM dfreq WHERE regexp_matches(term, '^fast.*$'))"

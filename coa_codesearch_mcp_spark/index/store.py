@@ -91,17 +91,20 @@ class IndexWriter:
 
     # ------------------------------------------------ stage 1: tokens
 
+    def _chunk_col(self, id_col: str = "doc_id"):
+        # integer division — float division loses precision above 2^53
+        # (hashed doc ids are 62-bit)
+        return F.expr(f"CAST(`{id_col}` DIV {self.cfg.chunk_size} AS LONG)")
+
     def _tokenize_wave(self, docs: DataFrame, chunk_ids: list[int], id_col: str, text_col: str) -> dict:
         cfg = self.cfg
-        wave_docs = docs.filter(
-            (F.col(id_col) / cfg.chunk_size).cast("long").isin(chunk_ids)
-        )
+        wave_docs = docs.filter(self._chunk_col(id_col).isin(chunk_ids))
         toks = tokenize_docs(wave_docs, cfg.field, id_col, text_col)
         agg = [F.count(F.lit(1)).alias("tf")]
         if cfg.with_positions:
             agg.append(F.sort_array(F.collect_list("pos")).alias("positions"))
         postings = toks.groupBy("term", "doc_id").agg(*agg).withColumn(
-            "chunk_id", (F.col("doc_id") / cfg.chunk_size).cast("long")
+            "chunk_id", self._chunk_col()
         )
         postings.write.partitionBy("chunk_id").mode("append").parquet(
             os.path.join(self.root, "tokens")
@@ -114,7 +117,7 @@ class IndexWriter:
                 "left",
             )
             .fillna(0, subset=["dl"])
-            .withColumn("chunk_id", (F.col("doc_id") / cfg.chunk_size).cast("long"))
+            .withColumn("chunk_id", self._chunk_col())
         )
         doclens.write.partitionBy("chunk_id").mode("append").parquet(
             os.path.join(self.root, "doclens")
@@ -124,14 +127,15 @@ class IndexWriter:
 
     def tokenize_stage(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
         cfg = self.cfg
-        bounds = docs.agg(
-            F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
-        ).collect()[0]
-        all_chunks = list(
-            range(int(bounds["lo"]) // cfg.chunk_size, int(bounds["hi"]) // cfg.chunk_size + 1)
+        # enumerate only chunks that actually exist (doc ids may be
+        # sparse 62-bit hashes — a dense range scan over the id span
+        # would enumerate billions of empty chunks)
+        present = sorted(
+            r["c"]
+            for r in docs.select(self._chunk_col(id_col).alias("c")).distinct().collect()
         )
         done = {int(u) for u in self.manifest.completed_units("tokens")}
-        todo = [c for c in all_chunks if c not in done]
+        todo = [c for c in present if c not in done]
         for i in range(0, len(todo), cfg.chunks_per_wave):
             wave = todo[i : i + cfg.chunks_per_wave]
             t0 = time.perf_counter()
@@ -268,7 +272,9 @@ class IndexWriter:
             )
             .join(doclens, "doc_id")
             .join(F.broadcast(dictionary), "term")
-            .withColumn("range_id", (F.col("doc_id") / range_size).cast("long"))
+            .withColumn(
+                "range_id", F.expr(f"CAST(doc_id DIV {range_size} AS LONG)")
+            )
             .withColumn(
                 "salt", F.pmod(F.col("range_id"), F.col("n_salts")).cast("int")
             )

@@ -1,0 +1,119 @@
+"""Tool-shaped operators: file/line/recent search, BFS, validation."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from coa_codesearch_mcp_spark.functions.tools_ops import (
+    call_path_bfs,
+    extract_symbols,
+    file_match_score,
+    file_search,
+    line_search,
+    path_components,
+    recent_files,
+    workspace_hash,
+)
+
+
+@pytest.fixture(scope="module")
+def web(spark):
+    from coa_codesearch_mcp_spark.fixtures.webgen import generate_webpages
+
+    return generate_webpages(spark, 60, partitions=4).cache()
+
+
+def test_file_search_glob_and_ladder(web):
+    rows = file_search(web, "000000*.html", k=10).collect()
+    assert len(rows) == 10
+    assert all(r["filename"].startswith("000000") for r in rows)
+    assert rows[0]["match_score"] >= rows[-1]["match_score"]
+
+
+def test_file_match_score_ladder(spark):
+    df = spark.createDataFrame(
+        [("exact.html",), ("exactx.html",), ("yexact.html",), ("nomatch.txt",)],
+        "fn string",
+    )
+    scores = {
+        r["fn"]: r["s"]
+        for r in df.select(
+            "fn", file_match_score(F.col("fn"), "exact*").alias("s")
+        ).collect()
+    }
+    assert scores["exact.html"] == 0.95   # exact stem match
+    assert scores["exactx.html"] == 0.85  # starts-with
+    assert scores["yexact.html"] == 0.65  # contains
+    assert scores["nomatch.txt"] == 0.3
+
+
+def test_line_search_caps_and_counts(spark):
+    text = "\n".join(
+        ["needle one", "hay", "needle two", "needle three", "hay"]
+    )
+    df = spark.createDataFrame([("u1", text), ("u2", "no match here")],
+                               "url string, text string")
+    out = line_search(df, "needle", max_per_file=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_matches"] == 3
+    assert len(r["lines"]) == 2  # capped
+    assert r["lines"][0]["line_no"] == 0
+
+
+def test_recent_files_timeframe(web):
+    rows = recent_files(web, "30d", k=100).collect()
+    assert 0 < len(rows) <= 100
+    max_ts = max(r["warc_ts"] for r in rows)
+    min_ts = min(r["warc_ts"] for r in rows)
+    assert (max_ts - min_ts) <= datetime.timedelta(days=30)
+
+
+def test_call_path_bfs_down_and_up(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 5), (9, 1)], "src long, dst long"
+    )
+    down = {r["node"]: r["depth"] for r in call_path_bfs(edges, [1], 2).collect()}
+    assert down == {1: 0, 2: 1, 3: 2, 5: 2}
+    up = {r["node"]: r["depth"] for r in call_path_bfs(edges, [4], 3, "up").collect()}
+    assert up == {4: 0, 3: 1, 2: 2, 1: 3}
+
+
+def test_bfs_cycle_terminates(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    out = call_path_bfs(edges, [1], 5).collect()
+    assert {r["node"] for r in out} == {1, 2}
+
+
+def test_extract_symbols(spark):
+    df = spark.createDataFrame(
+        [("class Foo and def bar and struct Baz plus class Foo",)], "text string"
+    )
+    syms = extract_symbols(df).collect()[0]["symbols"]
+    assert sorted(syms) == ["Bar", "Baz", "Foo"] or sorted(syms) == ["Baz", "Foo", "bar"]
+
+
+def test_path_components_and_hash(web):
+    comps = path_components(web.limit(4))
+    rows = comps.collect()
+    assert all(r["component"] for r in rows)
+    h = web.limit(2).select(workspace_hash().alias("h")).collect()
+    assert all(len(r["h"]) == 16 for r in h)
+
+
+def test_validate_index(spark, tmp_path, web):
+    from coa_codesearch_mcp_spark.index.store import (
+        IndexConfig,
+        IndexReader,
+        IndexWriter,
+    )
+    from coa_codesearch_mcp_spark.functions.tools_ops import validate_index
+
+    docs = web.withColumn("doc_id", F.xxhash64("url").bitwiseAND(F.lit((1 << 62) - 1)))
+    root = str(tmp_path / "vix")
+    cfg = IndexConfig(field="content_patterns", n_buckets=4,
+                      range_size=1 << 58, chunk_size=1 << 58, chunks_per_wave=32)
+    IndexWriter(spark, root, cfg).build(docs)
+    report = validate_index(IndexReader(spark, root))
+    assert report["ok"], report
