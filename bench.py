@@ -62,6 +62,36 @@ def main() -> None:
 
     timed("build_index_content", build_content)
 
+    # --- materialized store build + block-max WAND query path ---
+    import shutil
+
+    from coa_codesearch_mcp_spark.index.store import (
+        IndexConfig,
+        IndexReader,
+        IndexWriter,
+    )
+    from coa_codesearch_mcp_spark.query.store_executor import StoreSearcher
+
+    store_root = "/tmp/spark_graft_bench_ix"
+    shutil.rmtree(store_root, ignore_errors=True)
+    cfg = IndexConfig(
+        field="content_patterns",
+        n_buckets=16,
+        range_size=max(n_docs // cpus, 256),
+        chunk_size=max(n_docs // 4, 1024),
+        chunks_per_wave=8,
+        salt_threshold=max(n_docs // 4, 1000),
+    )
+
+    def build_store():
+        IndexWriter(spark, store_root, cfg).build(docs)
+
+    timed("build_store_index", build_store)
+    ss = StoreSearcher(IndexReader(spark, store_root))
+    timed("q1_term_wand", lambda: ss.search_term("spark", k=10).collect())
+    timed("q3_or_wand", lambda: ss.search_or(["spark", "stream"], k=10).collect())
+    timed("q2_and_wand", lambda: ss.search_and(["spark", "stream"], k=10).collect())
+
     s = Searcher(ix)
     timed("q1_term", lambda: s.search_term("spark", k=10).collect())
     timed("q2_and", lambda: s.search_and(["spark", "stream"], k=10).collect())
@@ -109,6 +139,9 @@ def main() -> None:
                 ),
                 "index_docs_per_sec_content": round(
                     n_docs / timings["build_index_content"], 2
+                ),
+                "index_docs_per_sec_store": round(
+                    n_docs / timings["build_store_index"], 2
                 ),
             }
         )

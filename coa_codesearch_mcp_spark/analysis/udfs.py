@@ -25,6 +25,20 @@ TOKEN_SCHEMA = T.ArrayType(
     )
 )
 
+# per-doc PRE-AGGREGATED postings: tf and sorted positions computed
+# inside the UDF (a doc's tokens are row-local, so the (term, doc)
+# aggregation needs NO shuffle — the classic map-side combine, done
+# one level earlier)
+GROUPED_TOKEN_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("tf", T.IntegerType(), False),
+            T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+)
+
 
 def _make_tokenizer_udf(field: str):
     @pandas_udf(TOKEN_SCHEMA)
@@ -37,6 +51,25 @@ def _make_tokenizer_udf(field: str):
             if t is not None
             else []
         )
+
+    return tok
+
+
+def make_grouped_tokenizer_udf(field: str):
+    @pandas_udf(GROUPED_TOKEN_SCHEMA)
+    def tok(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return []
+            groups: dict[str, list[int]] = {}
+            for term, pos in analyze_positions(field, t):
+                groups.setdefault(term, []).append(pos)
+            return [
+                {"term": term, "tf": len(ps), "positions": ps}
+                for term, ps in groups.items()
+            ]
+
+        return texts.map(one)
 
     return tok
 

@@ -25,42 +25,56 @@ import numpy as np
 BLOCK_SIZE = 128
 
 
+# 7-bit group boundaries: values below _LEN_THRESHOLDS[i] need i+1 bytes
+_LEN_THRESHOLDS = np.array([1 << (7 * i) for i in range(1, 10)], dtype=np.uint64)
+
+
 def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array (vectorized byte expansion)."""
+    """LEB128-encode a uint64 array — fully vectorized (<=10 numpy
+    passes regardless of length; hot-term posting lists can hold
+    hundreds of thousands of entries per salt)."""
     v = values.astype(np.uint64, copy=True)
     if len(v) == 0:
         return b""
-    out = bytearray()
-    for x in v.tolist():  # python loop over ints is fast enough per term-block (<=128)
-        while True:
-            b = x & 0x7F
-            x >>= 7
-            if x:
-                out.append(b | 0x80)
-            else:
-                out.append(b)
-                break
-    return bytes(out)
+    lengths = np.digitize(v, _LEN_THRESHOLDS) + 1
+    offs = np.cumsum(lengths) - lengths
+    buf = np.zeros(int(lengths.sum()), dtype=np.uint8)
+    cur = v.copy()
+    for i in range(10):
+        mask = lengths > i
+        if not mask.any():
+            break
+        idx = offs[mask] + i
+        byte = (cur[mask] & np.uint64(0x7F)).astype(np.uint8)
+        cont = (lengths[mask] - 1 > i).astype(np.uint8)
+        buf[idx] = byte | (cont << 7)
+        cur = cur >> np.uint64(7)
+    return buf.tobytes()
 
 
 def varint_decode(data: bytes, n: int) -> np.ndarray:
-    """Decode ``n`` LEB128 values from ``data``."""
-    out = np.empty(n, dtype=np.uint64)
-    i = 0
-    pos = 0
-    ln = len(data)
-    for i in range(n):
-        x = 0
-        shift = 0
-        while pos < ln:
-            b = data[pos]
-            pos += 1
-            x |= (b & 0x7F) << shift
-            if not (b & 0x80):
-                break
-            shift += 7
-        out[i] = x
-    return out
+    """Decode ``n`` LEB128 values — vectorized inverse of
+    :func:`varint_encode`."""
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    b = np.frombuffer(data, dtype=np.uint8)
+    is_last = (b & 0x80) == 0
+    # value index of each byte
+    vidx = np.zeros(len(b), dtype=np.int64)
+    vidx[1:] = np.cumsum(is_last)[:-1]
+    # byte position within its value
+    starts = np.empty(len(b), dtype=bool)
+    starts[0] = True
+    starts[1:] = is_last[:-1]
+    start_idx = np.maximum.accumulate(
+        np.where(starts, np.arange(len(b)), -1)
+    )
+    pos = (np.arange(len(b)) - start_idx).astype(np.uint64)
+    vals = np.zeros(n, dtype=np.uint64)
+    np.add.at(
+        vals, vidx[: len(b)], (b & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * pos)
+    )
+    return vals
 
 
 def encode_blocks(

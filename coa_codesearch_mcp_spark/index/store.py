@@ -99,28 +99,70 @@ class IndexWriter:
     def _tokenize_wave(self, docs: DataFrame, chunk_ids: list[int], id_col: str, text_col: str) -> dict:
         cfg = self.cfg
         wave_docs = docs.filter(self._chunk_col(id_col).isin(chunk_ids))
-        toks = tokenize_docs(wave_docs, cfg.field, id_col, text_col)
-        agg = [F.count(F.lit(1)).alias("tf")]
-        if cfg.with_positions:
-            agg.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-        postings = toks.groupBy("term", "doc_id").agg(*agg).withColumn(
-            "chunk_id", self._chunk_col()
+        # project to the two columns tokenization needs BEFORE any
+        # repartition — never shuffle html blobs / unrelated columns
+        tok_input = wave_docs.select(F.col(id_col), F.col(text_col))
+        # small inputs can arrive in fewer splits than cores — spread
+        # the tokenize stage (at 100 TB the input has plenty of splits
+        # and this is a no-op)
+        parallelism = self.spark.sparkContext.defaultParallelism
+        if tok_input.rdd.getNumPartitions() < parallelism:
+            tok_input = tok_input.repartition(parallelism)
+
+        # per-doc pre-aggregated postings: the (term, doc) aggregation
+        # happens INSIDE the tokenizer UDF (a doc's tokens are
+        # row-local), so the tokens wave is a MAP-ONLY job — no
+        # groupBy/collect_list shuffle. One nested row per doc:
+        # (doc_id, dl, tokens: array<struct<term, tf, positions>>).
+        from ..analysis.udfs import make_grouped_tokenizer_udf
+
+        grouped_udf = make_grouped_tokenizer_udf(cfg.field)
+        rows = tok_input.select(
+            F.col(id_col).alias("doc_id"),
+            grouped_udf(F.col(text_col)).alias("tokens"),
+        ).withColumn(
+            "dl",
+            F.aggregate(
+                "tokens", F.lit(0), lambda acc, x: acc + x["tf"]
+            ).cast("long"),
         )
-        postings.write.partitionBy("chunk_id").mode("append").parquet(
-            os.path.join(self.root, "tokens")
-        )
-        doclens = (
-            wave_docs.select(F.col(id_col).alias("doc_id"))
-            .join(
-                toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")),
-                "doc_id",
-                "left",
+        if not cfg.with_positions:
+            rows = rows.withColumn(
+                "tokens",
+                F.transform(
+                    "tokens",
+                    lambda x: F.struct(
+                        x["term"].alias("term"),
+                        x["tf"].alias("tf"),
+                        F.array().cast("array<int>").alias("positions"),
+                    ),
+                ),
             )
-            .fillna(0, subset=["dl"])
-            .withColumn("chunk_id", self._chunk_col())
+        rows = rows.withColumn("chunk_id", self._chunk_col())
+
+        tokens_path = os.path.join(self.root, "tokens")
+        # co-locate each chunk into one task before the dynamic
+        # partition write: otherwise every task writes a file into
+        # every chunk dir (tasks x chunks small files + driver-serial
+        # commit renames — the classic dynamic-partition-write trap)
+        (
+            rows.repartition("chunk_id")
+            .write.partitionBy("chunk_id")
+            .mode("append")
+            .parquet(tokens_path)
         )
-        doclens.write.partitionBy("chunk_id").mode("append").parquet(
-            os.path.join(self.root, "doclens")
+
+        # doclens from the tokens JUST WRITTEN: column-pruned read-back
+        # (doc_id, dl only — the nested tokens column is never touched)
+        written = self.spark.read.parquet(tokens_path).filter(
+            F.col("chunk_id").isin(chunk_ids)
+        )
+        doclens = written.select("doc_id", "dl", "chunk_id")
+        (
+            doclens.repartition("chunk_id")
+            .write.partitionBy("chunk_id")
+            .mode("append")
+            .parquet(os.path.join(self.root, "doclens"))
         )
         n = wave_docs.count()
         return {"n_docs": n}
@@ -161,7 +203,11 @@ class IndexWriter:
         cfg = self.cfg
         tokens = self.spark.read.parquet(os.path.join(self.root, "tokens"))
         doclens = self.spark.read.parquet(os.path.join(self.root, "doclens"))
-        dictionary = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        dictionary = (
+            tokens.select(F.explode("tokens").alias("tok"))
+            .groupBy(F.col("tok.term").alias("term"))
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
         dictionary = dictionary.select(
             "term",
             "df",
@@ -207,13 +253,10 @@ class IndexWriter:
             return
 
         tokens = self.spark.read.parquet(os.path.join(self.root, "tokens"))
-        doclens = self.spark.read.parquet(os.path.join(self.root, "doclens")).drop(
-            "chunk_id"
-        )
         dictionary = self.spark.read.parquet(os.path.join(self.root, "dictionary"))
 
         range_size = cfg.range_size
-        with_pos = cfg.with_positions and "positions" in tokens.columns
+        with_pos = cfg.with_positions
 
         def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
             """One (term, salt) posting sub-list -> encoded block rows.
@@ -266,11 +309,22 @@ class IndexWriter:
                 columns=[f.name for f in POSTING_SCHEMA.fields],
             )
 
+        exploded = tokens.select(
+            "doc_id",
+            "dl",
+            F.explode("tokens").alias("tok"),
+        ).select(
+            "doc_id",
+            "dl",
+            F.col("tok.term").alias("term"),
+            F.col("tok.tf").alias("tf"),
+            F.col("tok.positions").alias("positions"),
+        )
+        # dl rides in the row — no doclens join on the build path
         base = (
-            tokens.filter(
+            exploded.filter(
                 F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int").isin(todo)
             )
-            .join(doclens, "doc_id")
             .join(F.broadcast(dictionary), "term")
             .withColumn(
                 "range_id", F.expr(f"CAST(doc_id DIV {range_size} AS LONG)")
