@@ -99,15 +99,16 @@ class IndexWriter:
     def _tokenize_wave(self, docs: DataFrame, chunk_ids: list[int], id_col: str, text_col: str) -> dict:
         cfg = self.cfg
         wave_docs = docs.filter(self._chunk_col(id_col).isin(chunk_ids))
-        # project to the two columns tokenization needs BEFORE any
-        # repartition — never shuffle html blobs / unrelated columns
-        tok_input = wave_docs.select(F.col(id_col), F.col(text_col))
-        # small inputs can arrive in fewer splits than cores — spread
-        # the tokenize stage (at 100 TB the input has plenty of splits
-        # and this is a no-op)
-        parallelism = self.spark.sparkContext.defaultParallelism
-        if tok_input.rdd.getNumPartitions() < parallelism:
-            tok_input = tok_input.repartition(parallelism)
+        # ONE light shuffle of (id, text) keyed by chunk BEFORE the
+        # UDF: tokenize parallelism = chunk count (explicit — AQE's
+        # byte-based coalescing would underestimate UDF cost and pin
+        # the stage to a few tasks), the nested token arrays are
+        # written map-side and never shuffled, and the partitionBy
+        # write sees ~one chunk per task (no file fan-out). html blobs
+        # and unrelated columns are projected away before the shuffle.
+        tok_input = wave_docs.select(F.col(id_col), F.col(text_col)).repartition(
+            len(chunk_ids), self._chunk_col(id_col)
+        )
 
         # per-doc pre-aggregated postings: the (term, doc) aggregation
         # happens INSIDE the tokenizer UDF (a doc's tokens are
@@ -144,13 +145,9 @@ class IndexWriter:
         # co-locate each chunk into one task before the dynamic
         # partition write: otherwise every task writes a file into
         # every chunk dir (tasks x chunks small files + driver-serial
-        # commit renames — the classic dynamic-partition-write trap)
-        (
-            rows.repartition("chunk_id")
-            .write.partitionBy("chunk_id")
-            .mode("append")
-            .parquet(tokens_path)
-        )
+        # commit renames — the classic dynamic-partition-write trap).
+        # already chunk-partitioned by the pre-UDF repartition.
+        rows.write.partitionBy("chunk_id").mode("append").parquet(tokens_path)
 
         # doclens from the tokens JUST WRITTEN: column-pruned read-back
         # (doc_id, dl only — the nested tokens column is never touched)
@@ -159,7 +156,7 @@ class IndexWriter:
         )
         doclens = written.select("doc_id", "dl", "chunk_id")
         (
-            doclens.repartition("chunk_id")
+            doclens.repartition(len(chunk_ids), "chunk_id")
             .write.partitionBy("chunk_id")
             .mode("append")
             .parquet(os.path.join(self.root, "doclens"))
@@ -343,7 +340,7 @@ class IndexWriter:
             .applyInPandas(encode_group, POSTING_SCHEMA)
         )
         (
-            encoded.repartition("bucket")
+            encoded.repartition(len(todo), "bucket")
             .sortWithinPartitions("term", "salt", "range_id", "block_no")
             .write.partitionBy("bucket")
             .mode("append")
