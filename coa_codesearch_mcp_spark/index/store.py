@@ -161,7 +161,8 @@ class IndexWriter:
             .mode("append")
             .parquet(os.path.join(self.root, "doclens"))
         )
-        n = wave_docs.count()
+        # metadata-only count (parquet footers) — no input re-scan
+        n = written.count()
         return {"n_docs": n}
 
     def tokenize_stage(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
