@@ -129,8 +129,11 @@ class TextSearchEngine:
         res = self.search(query, mode=mode, k=k * candidate_multiplier)
         if res.error:
             return res.hits
-        joined = res.hits.withColumnRenamed("doc_id", id_col).join(
-            F.broadcast(docs), id_col
+        # Broadcast the TINY top-k*multiplier hit set against the docs
+        # table (SURVEY §2.7 J2) — never the docs table itself, which
+        # at 10^12 docs would OOM the driver and every executor.
+        joined = docs.join(
+            F.broadcast(res.hits.withColumnRenamed("doc_id", id_col)), id_col
         )
         rescored = add_multi_factor_score(
             joined, query, reference_time=reference_time

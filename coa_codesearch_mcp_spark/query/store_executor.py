@@ -59,6 +59,11 @@ class StoreSearcher:
         exclude_set = set(exclude)
         avgdl = self.reader.avgdl
         kk = k
+        # For AND, every query term must appear in the doc range, not
+        # merely in the corpus: a range holding only `alpha` blocks must
+        # answer AND(alpha, beta) with nothing, so the required count is
+        # closed over here and enforced inside wand_topk (n_required).
+        n_required = len(present) if mode == "and" else None
 
         def per_range(pdf: pd.DataFrame) -> pd.DataFrame:
             term_blocks: dict[str, tuple[float, list[dict]]] = {}
@@ -75,7 +80,9 @@ class StoreSearcher:
             # WAND needs k + |banned-overlap| slack; simplest exact
             # approach: fetch k + len(banned) then filter
             slack_k = kk + len(banned)
-            hits = wand_topk(term_blocks, avgdl, slack_k, mode=mode)
+            hits = wand_topk(
+                term_blocks, avgdl, slack_k, mode=mode, n_required=n_required
+            )
             hits = [(d, s) for d, s in hits if d not in banned][:kk]
             return pd.DataFrame(hits, columns=["doc_id", "score"])
 

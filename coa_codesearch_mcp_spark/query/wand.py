@@ -145,18 +145,26 @@ def wand_topk(
     mode: str = "or",
     threshold0: float = 0.0,
     stats: WandStats | None = None,
+    n_required: int | None = None,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score) within one doc range.
 
     term_blocks: term -> (idf, [block rows sorted by block_no]).
     mode 'or' = WAND disjunction; 'and' = conjunction (all terms).
+    n_required: for mode='and', the number of terms in the FULL query.
+    A caller that scatters per doc-range must pass this: term_blocks
+    only carries the terms present in this range, so comparing against
+    len(term_blocks) alone would wrongly answer AND(alpha, beta) with
+    alpha-only docs in a range that never saw beta.
     """
     cursors = [
         TermCursor(idf=idf, blocks=blocks)
         for idf, blocks in term_blocks.values()
         if blocks
     ]
-    if mode == "and" and len(cursors) != len(term_blocks):
+    if n_required is None:
+        n_required = len(term_blocks)
+    if mode == "and" and len(cursors) != n_required:
         return []
     if not cursors:
         return []
