@@ -140,14 +140,28 @@ class IndexWriter:
                 ),
             )
         rows = rows.withColumn("chunk_id", self._chunk_col())
+        return self._write_token_wave(rows, chunk_ids)
 
+    def _write_token_wave(self, rows: DataFrame, chunk_ids: list[int]) -> dict:
+        """Write one wave of (doc_id, tokens, dl, chunk_id) rows.
+
+        IDEMPOTENT: dynamic partition overwrite keyed on chunk_id — a
+        crash between this write and manifest.commit() makes the
+        resumed build REWRITE (not append-duplicate) exactly these
+        chunk partitions, so tf/df/dl/N are never double-counted
+        (exactly-once resume, round-2 ADVICE fix)."""
         tokens_path = os.path.join(self.root, "tokens")
         # co-locate each chunk into one task before the dynamic
         # partition write: otherwise every task writes a file into
         # every chunk dir (tasks x chunks small files + driver-serial
         # commit renames — the classic dynamic-partition-write trap).
         # already chunk-partitioned by the pre-UDF repartition.
-        rows.write.partitionBy("chunk_id").mode("append").parquet(tokens_path)
+        (
+            rows.write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy("chunk_id")
+            .mode("overwrite")
+            .parquet(tokens_path)
+        )
 
         # doclens from the tokens JUST WRITTEN: column-pruned read-back
         # (doc_id, dl only — the nested tokens column is never touched)
@@ -157,8 +171,9 @@ class IndexWriter:
         doclens = written.select("doc_id", "dl", "chunk_id")
         (
             doclens.repartition(len(chunk_ids), "chunk_id")
-            .write.partitionBy("chunk_id")
-            .mode("append")
+            .write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy("chunk_id")
+            .mode("overwrite")
             .parquet(os.path.join(self.root, "doclens"))
         )
         # metadata-only count (parquet footers) — no input re-scan
@@ -343,8 +358,11 @@ class IndexWriter:
         (
             encoded.repartition(len(todo), "bucket")
             .sortWithinPartitions("term", "salt", "range_id", "block_no")
-            .write.partitionBy("bucket")
-            .mode("append")
+            # idempotent on resume: a crashed postings wave rewrites its
+            # bucket partitions instead of appending duplicates
+            .write.option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .mode("overwrite")
             .parquet(os.path.join(self.root, "postings"))
         )
         dt = time.perf_counter() - t0
@@ -357,6 +375,53 @@ class IndexWriter:
         self.manifest.commit()
 
     # ------------------------------------------------------- pipeline
+
+    def build_from_tokens(self, tokens: DataFrame) -> Manifest:
+        """Segment-merge entry (S9 tiered compaction): ``tokens`` rows
+        (doc_id, tokens, dl) come from already-built segments' token
+        stores, so folding deltas into a new main NEVER re-tokenizes —
+        only the dictionary + postings stages rerun over the merged
+        token set (reference analog: Lucene segment merges reuse stored
+        postings, LuceneIndexService.cs:142-151)."""
+        cfg = self.cfg
+        rows = tokens.select("doc_id", "tokens", "dl").withColumn(
+            "chunk_id", self._chunk_col()
+        )
+        present = sorted(
+            r["c"]
+            for r in rows.select(F.col("chunk_id").alias("c")).distinct().collect()
+        )
+        done = {int(u) for u in self.manifest.completed_units("tokens")}
+        todo = [c for c in present if c not in done]
+        for i in range(0, len(todo), cfg.chunks_per_wave):
+            wave = todo[i : i + cfg.chunks_per_wave]
+            t0 = time.perf_counter()
+            wave_rows = rows.filter(F.col("chunk_id").isin(wave)).repartition(
+                len(wave), "chunk_id"
+            )
+            metrics = self._write_token_wave(wave_rows, wave)
+            dt = time.perf_counter() - t0
+            for c in wave:
+                self.manifest.record_unit(
+                    "tokens",
+                    str(c),
+                    {
+                        "inputs": {"kind": "segment-merge"},
+                        "wave_docs": metrics["n_docs"],
+                        "wave_secs": round(dt, 3),
+                    },
+                )
+            self.manifest.commit()
+        self.dictionary_stage()
+        self.postings_stage()
+        counts = {
+            "postings_blocks": self.spark.read.parquet(
+                os.path.join(self.root, "postings")
+            ).count(),
+        }
+        self.manifest.set_stats("postings", counts)
+        self.manifest.commit()
+        return self.manifest
 
     def build(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Manifest:
         self.tokenize_stage(docs, id_col, text_col)

@@ -71,15 +71,28 @@ class DeltaIndexManager:
         return os.path.join(self.root, "tombstones")
 
     def tombstones(self) -> DataFrame:
-        """(doc_id, upto_seg) — doc hidden in segments < upto_seg."""
+        """(doc_id, upto_seg) — doc hidden in segments < upto_seg.
+
+        Resolved LAST-WRITER-WINS by the issuing delta id, NOT by
+        max(upto_seg): a delete (upto_seg=+inf) must be superseded by
+        a later re-upsert of the same url, whose tombstone only hides
+        copies older than its own delta. (Round-2 fix; max() made a
+        delete permanent even after re-creation.)"""
         path = self._tombstone_path()
         if not os.path.exists(path):
             return self.spark.createDataFrame([], "doc_id long, upto_seg long")
-        return (
-            self.spark.read.parquet(path)
-            .groupBy("doc_id")
-            .agg(F.max("upto_seg").alias("upto_seg"))
+        raw = self.spark.read.parquet(path)
+        latest = (
+            raw.withColumn(
+                "_rn",
+                F.row_number().over(
+                    W.partitionBy("doc_id").orderBy(F.desc("issued_delta"))
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .select("doc_id", "upto_seg")
         )
+        return latest
 
     def segments(self) -> list[tuple[int, IndexReader]]:
         out = []
@@ -126,12 +139,15 @@ class DeltaIndexManager:
 
         delta_id = (self._delta_ids()[-1] + 1) if self._delta_ids() else MAIN_SEG + 1
 
-        # upserts hide older copies only; deletes hide everywhere
+        # upserts hide older copies only; deletes hide everywhere —
+        # until a later delta's tombstone supersedes (issued_delta is
+        # the LWW resolution key in tombstones())
         tomb = latest.select(
             "doc_id",
             F.when(F.col("op") == "delete", F.lit(_FOREVER))
             .otherwise(F.lit(delta_id))
             .alias("upto_seg"),
+            F.lit(delta_id).alias("issued_delta"),
         )
         tomb.write.mode("append").parquet(self._tombstone_path())
 
@@ -193,15 +209,23 @@ class DeltaIndexManager:
         idfs = {t: idf_py(df_by_term[t], n_docs) for t in terms if df_by_term[t]}
         if not idfs:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        # tombstone map is small relative to the corpus between
-        # compactions; broadcast as a plain dict (production: bloom
-        # filter broadcast + exact recheck)
-        tomb_map = {
-            int(r["doc_id"]): int(r["upto_seg"]) for r in self.tombstones().collect()
-        }
+        # Tombstones are DISTRIBUTED to the range that owns each doc id
+        # via cogroup on range_id — no driver collect, no pickled dict
+        # in the UDF closure: after heavy churn the tombstone set is
+        # unbounded, but each range only ever sees its own slice.
+        tomb_by_range = self.tombstones().withColumn(
+            "range_id",
+            F.expr(f"CAST(doc_id DIV {self.cfg.range_size} AS LONG)"),
+        )
         kk = k
 
-        def per_range(pdf: pd.DataFrame) -> pd.DataFrame:
+        def per_range(pdf: pd.DataFrame, tomb_pdf: pd.DataFrame) -> pd.DataFrame:
+            tomb_map = dict(
+                zip(
+                    tomb_pdf["doc_id"].astype("int64").tolist(),
+                    tomb_pdf["upto_seg"].astype("int64").tolist(),
+                )
+            )
             doc_scores: dict[int, float] = {}
             for (term, seg_id), grp in pdf.groupby(["term", "seg_id"], sort=True):
                 if term not in idfs:
@@ -229,9 +253,12 @@ class DeltaIndexManager:
             return pd.DataFrame(ranked, columns=["doc_id", "score"])
 
         local = (
-            all_blocks.repartition("range_id")
-            .groupBy("range_id")
-            .applyInPandas(lambda key, pdf: per_range(pdf), "doc_id long, score double")
+            all_blocks.groupby("range_id")
+            .cogroup(tomb_by_range.groupby("range_id"))
+            .applyInPandas(
+                lambda left, right: per_range(left, right),
+                "doc_id long, score double",
+            )
         )
         return (
             local.select("doc_id", F.round("score", 4).alias("score"))
@@ -240,6 +267,66 @@ class DeltaIndexManager:
         )
 
     # --------------------------------------------------- compaction
+
+    def live_tokens(self) -> DataFrame:
+        """Union of every segment's stored token rows with tombstone
+        visibility applied — the input to a token-level segment merge.
+        No text, no re-tokenization: (doc_id, tokens, dl)."""
+        tomb = self.tombstones()
+        out = None
+        for seg_id, r in self.segments():
+            toks = self.spark.read.parquet(os.path.join(r.root, "tokens")).select(
+                "doc_id", "tokens", "dl"
+            )
+            live = toks.join(
+                tomb.filter(F.col("upto_seg") > seg_id), "doc_id", "left_anti"
+            )
+            out = live if out is None else out.unionByName(live)
+        if out is None:
+            return self.spark.createDataFrame(
+                [], "doc_id long, tokens array<struct<term:string,tf:int,positions:array<int>>>, dl long"
+            )
+        return out
+
+    def merge_deltas(self) -> None:
+        """S9 tiered merge: fold all delta segments + tombstones into a
+        new main WITHOUT re-tokenizing — the merged token stores feed
+        dictionary + postings directly (IndexWriter.build_from_tokens).
+        Atomic flip via os.replace, then deltas/tombstones dropped.
+        Reference: LuceneIndexService.cs:142-151 (size-tiered segment
+        merge policy)."""
+        import shutil
+
+        new_main = os.path.join(self.root, "main_next")
+        shutil.rmtree(new_main, ignore_errors=True)
+        IndexWriter(self.spark, new_main, self.cfg).build_from_tokens(
+            self.live_tokens()
+        )
+        old_main = os.path.join(self.root, "main")
+        shutil.rmtree(old_main, ignore_errors=True)
+        os.replace(new_main, old_main)
+        shutil.rmtree(os.path.join(self.root, "deltas"), ignore_errors=True)
+        shutil.rmtree(self._tombstone_path(), ignore_errors=True)
+        self.manifest.data["stages"].pop("deltas", None)
+        self.manifest.commit()
+
+    def maybe_compact(
+        self, delta_ratio: float = 0.25, max_deltas: int = 8
+    ) -> bool:
+        """Size-tiered trigger: merge when the delta tier outgrows the
+        main segment (sum of delta docs > delta_ratio * main docs) or
+        too many small segments accumulate (> max_deltas). Returns True
+        if a merge ran."""
+        segs = self.segments()
+        main_docs = next((r.n_docs for sid, r in segs if sid == MAIN_SEG), 0)
+        delta_docs = sum(r.n_docs for sid, r in segs if sid != MAIN_SEG)
+        n_deltas = sum(1 for sid, _ in segs if sid != MAIN_SEG)
+        if n_deltas == 0:
+            return False
+        if n_deltas > max_deltas or delta_docs > delta_ratio * max(main_docs, 1):
+            self.merge_deltas()
+            return True
+        return False
 
     def rebuild(self, live_docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
         """S9 compaction: reindex live docs into a new main, drop
@@ -264,13 +351,17 @@ def attach_stream(
     manager: DeltaIndexManager,
     changes_stream: DataFrame,
     checkpoint_dir: str,
+    auto_compact: bool = False,
 ):
     """W1: Structured Streaming ingestion — the micro-batch is the
     debounce window; each batch MERGEs via apply_batch (last-event-
-    wins inside the batch absorbs rapid change storms per url)."""
+    wins inside the batch absorbs rapid change storms per url).
+    auto_compact: run the size-tiered merge policy after each batch."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         manager.apply_batch(batch_df)
+        if auto_compact:
+            manager.maybe_compact()
 
     return (
         changes_stream.writeStream.foreachBatch(handle)

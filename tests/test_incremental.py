@@ -145,6 +145,113 @@ def test_incremental_matches_full_rebuild(spark, mgr, tmp_path):
         assert hits(mgr, terms) == hits(fresh, terms), terms
 
 
+def test_delete_then_recreate_visible(spark, mgr):
+    """ADVICE round-2 repro: create -> delete -> re-create across three
+    batches must return the re-created doc (tombstones resolve by
+    issuing delta recency, not max upto_seg)."""
+    url = "https://new.org/phoenix.html"
+    mgr.apply_batch(
+        _changes(spark, [(url, "upsert", "phoenixword first life", TS, TS)])
+    )
+    assert len(hits(mgr, ["phoenixword"])) == 1
+    mgr.apply_batch(_changes(spark, [(url, "delete", None, None, TS)]))
+    assert hits(mgr, ["phoenixword"]) == {}
+    mgr.apply_batch(
+        _changes(spark, [(url, "upsert", "phoenixword second life", TS, TS)])
+    )
+    got = hits(mgr, ["phoenixword"])
+    assert len(got) == 1, "re-created doc must be visible again"
+    # and corpus stats count it as live exactly once
+    n, _ = mgr.combined_stats()
+    assert n == 41  # 40 originals + 1 re-created
+
+
+def test_tiered_compaction_matches_rebuild(spark, mgr, tmp_path):
+    """S9: after several delta batches the size-tiered policy fires and
+    the merged index answers identically to a FROM-SCRATCH index over
+    the equivalent live corpus — without re-tokenizing (token-level
+    segment merge). Pre-merge scores are NOT the oracle: df counts
+    hidden copies until compaction (documented Lucene-style
+    divergence), so merging legitimately moves idf for terms touched
+    by deletes."""
+    for i in range(3):
+        mgr.apply_batch(
+            _changes(
+                spark,
+                [
+                    (
+                        f"https://new.org/batch{i}.html",
+                        "upsert",
+                        f"mergemarker batch{i} spark content",
+                        TS,
+                        TS,
+                    )
+                ],
+            )
+        )
+    mgr.apply_batch(
+        _changes(
+            spark, [("https://new.org/batch0.html", "delete", None, None, TS)]
+        )
+    )
+    # 4 deltas over a 40-doc main -> ratio + count triggers both fire
+    assert mgr.maybe_compact(delta_ratio=0.05, max_deltas=2) is True
+    assert mgr._delta_ids() == []
+    assert len(mgr.segments()) == 1
+
+    # oracle: fresh index over the equivalent live corpus
+    from coa_codesearch_mcp_spark.streaming.incremental import _url_doc_id
+
+    pdf = generate_webpages_pdf(40, seed=42)
+    live = spark.createDataFrame(pdf[["url", "warc_ts", "text"]])
+    extra = spark.createDataFrame(
+        [
+            (f"https://new.org/batch{i}.html", TS, f"mergemarker batch{i} spark content")
+            for i in (1, 2)
+        ],
+        "url string, warc_ts timestamp, text string",
+    )
+    live = live.unionByName(extra).withColumn("doc_id", _url_doc_id())
+    fresh = DeltaIndexManager(spark, str(tmp_path / "fresh_cmp"), CFG)
+    fresh.init_main(live)
+
+    for terms in [["mergemarker"], ["spark"], ["batch1"]]:
+        assert hits(mgr, terms, k=40) == hits(fresh, terms, k=40), terms
+    assert len(hits(mgr, ["batch0"], k=40)) == 0  # delete survived merge
+    # nothing left to compact
+    assert mgr.maybe_compact() is False
+
+
+def test_resume_after_crash_is_exactly_once(spark, tmp_path):
+    """Crash between the tokens write and manifest.commit() must NOT
+    double-count on resume: the wave write is a dynamic partition
+    OVERWRITE keyed on chunk_id (ADVICE round-2 fix)."""
+    from coa_codesearch_mcp_spark.index.store import IndexReader, IndexWriter
+    from coa_codesearch_mcp_spark.streaming.incremental import _url_doc_id
+
+    pdf = generate_webpages_pdf(30, seed=7)
+    docs = spark.createDataFrame(pdf[["url", "warc_ts", "text"]]).withColumn(
+        "doc_id", _url_doc_id()
+    )
+    root = str(tmp_path / "ix_crash")
+    w = IndexWriter(spark, root, CFG)
+    # simulate the crash: the wave's data is written but its manifest
+    # units never commit
+    present = sorted(
+        r["c"] for r in docs.select(w._chunk_col().alias("c")).distinct().collect()
+    )
+    w._tokenize_wave(docs, present, "doc_id", "text")
+    assert not w.manifest.completed_units("tokens")
+
+    # resume with a fresh writer — rewrites those chunks, no dupes
+    IndexWriter(spark, root, CFG).build(docs)
+    reader = IndexReader(spark, root)
+    assert reader.n_docs == 30
+    toks = spark.read.parquet(f"{root}/tokens")
+    assert toks.count() == 30
+    assert toks.select("doc_id").distinct().count() == 30
+
+
 def test_streaming_ingestion(spark, mgr, tmp_path):
     src = tmp_path / "stream_src"
     src.mkdir()
