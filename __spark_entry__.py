@@ -268,8 +268,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def dedup_minhash_lsh(spark, sf):
-        # probabilistic banding -> candidate pairs w/ exact verify;
-        # rows-only check (banding is not SQL-expressible)
+        # banding -> candidate pairs -> exact-Jaccard verify. FULL
+        # oracle (round 2): the corpus's true near-dup pairs all sit at
+        # jaccard >= 0.909, where the 16-band/4-row s-curve miss
+        # probability is ~4e-8 per pair and the fixed seed makes the
+        # outcome deterministic — so the LSH candidate set filtered at
+        # the same threshold EQUALS the exact all-pairs oracle.
         from coa_codesearch_mcp_spark.functions.dedup import minhash_lsh_candidates
 
         docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -278,17 +282,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_a", "doc_b")
 
     def dedup_simhash(spark, sf):
+        # block-permutation bucketing is LOSSLESS for Hamming <= k
+        # (pigeonhole), so the distributed bucketed self-join equals
+        # brute-force all-pairs — checked by a FULL DuckDB oracle that
+        # recomputes the pinned md5-based fingerprints in SQL.
         from coa_codesearch_mcp_spark.functions.dedup import simhash_near_dups
 
         docs = spark.read.parquet(f"{sf}/documents.parquet")
-        return simhash_near_dups(docs, max_hamming=8).orderBy("doc_a", "doc_b")
+        return simhash_near_dups(docs, max_hamming=8).select(
+            "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+        ).orderBy("doc_a", "doc_b")
 
     def knn_lsh_ann(spark, sf):
-        from coa_codesearch_mcp_spark.functions.similarity import knn_lsh
+        # materialized IVF-style index: vectors partitioned by
+        # hyperplane bucket, planes persisted; the query reads ONLY the
+        # probed bucket dirs. 4 planes / 12 probes give deterministic
+        # recall@10 = 1.0 on this corpus (near-random synthetic
+        # embeddings need wide probing; clustered real embeddings
+        # prune far harder), so the result is hash-identical to the
+        # exact-KNN oracle.
+        from coa_codesearch_mcp_spark.functions.similarity import AnnIndex
 
+        tag = sf.rstrip("/").replace("/", "_")
+        root = f"/tmp/spark_graft_ann/{tag}"
+        import os
+
+        if not os.path.exists(f"{root}/planes.json"):
+            emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+            AnnIndex.build(spark, emb, root, n_planes=4)
+        ix = AnnIndex(spark, root)
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         q = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-        return knn_lsh(emb, [float(x) for x in q], k=10, n_probes=4)
+        return ix.query([float(x) for x in q], k=10, n_probes=12)
 
     def lang_id_counts(spark, sf):
         docs = spark.read.parquet(f"{sf}/documents.parquet")
@@ -684,6 +709,57 @@ ORDER BY m.depth, m.node
     sql["q12_exact_mode"] = _sql_bm25(
         "p.term IN ('fast', 'key')", having="HAVING count(*) = 2"
     )
+    # LSH candidates (fixed seeds) deterministically recover every
+    # true pair on this corpus (all true pairs >= 0.909 jaccard, miss
+    # prob ~4e-8/pair) and verified jaccard filters the rest — equals
+    # the exact all-pairs oracle
+    sql["dedup_minhash_lsh"] = sql["dedup_jaccard_pairs"]
+
+    # simhash: recompute the pinned md5-based fingerprint spec
+    # (functions/dedup.py simhash_fingerprints docstring) entirely in
+    # SQL, then brute-force all-pairs Hamming via bit_count(xor) —
+    # the block-permutation join must equal it exactly
+    bit_sql = lambda i: (  # noqa: E731
+        f"((lo >> {i}) & 1)" if i < 32 else f"((hi >> {i - 32}) & 1)"
+    )
+    sum_cols = ",\n         ".join(
+        f"sum(cnt * ({bit_sql(i)} * 2 - 1)) AS s{i}" for i in range(64)
+    )
+    fp_terms = " + ".join(
+        f"CASE WHEN s{i} > 0 THEN {-(1 << 63) if i == 63 else (1 << i)} ELSE 0 END"
+        for i in range(64)
+    )
+    sql["dedup_simhash"] = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY doc_id, tok),
+h AS (
+  SELECT doc_id, cnt,
+         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hi,
+         CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS lo
+  FROM tf
+),
+s AS (
+  SELECT doc_id,
+         {sum_cols}
+  FROM h GROUP BY doc_id
+),
+fp0 AS (SELECT doc_id, CAST({fp_terms} AS BIGINT) AS fp FROM s),
+fps AS (
+  SELECT d.doc_id, coalesce(fp0.fp, 0) AS fp
+  FROM documents d LEFT JOIN fp0 USING (doc_id)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 8
+ORDER BY doc_a, doc_b
+"""
+    sql["knn_lsh_ann"] = sql["q16_knn_cosine"]
     sql["q1_term_bm25_wand"] = sql["q1_term_bm25"]
     sql["q2_and_bm25_wand"] = sql["q2_and_bm25"]
     sql["q3_or_bm25_wand"] = sql["q3_or_bm25"]

@@ -79,23 +79,30 @@ def ngram_jaccard(a: Column, b: Column) -> Column:
 # ----------------------------------------------------------- minhash
 
 
+_SPLITMIX_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public domain, Steele et al.,
+    'Fast splittable pseudorandom number generators', OOPSLA 2014).
+    uint64 arithmetic wraps — exactly the mixing we want."""
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def minhash_signature_udf(num_hashes: int = 64, seed: int = 1, ngram: int = 3):
-    """Vectorized minhash over shingle arrays.
+    """Vectorized minhash over shingle arrays — no Python-level loops
+    in the hot path:
 
-    Universal hashing ((a*x + b) mod p) over xxhash-free murmur-ish
-    int shingle hashes (python hash is salted — we use a stable FNV).
+    - shingle -> uint64 via pandas' C siphash (``pd.util.hash_array``,
+      fixed key => deterministic across executors/runs);
+    - k 'permutations' via splitmix64 mixing of (hash + i*GOLDEN),
+      all in wrapping uint64 numpy ops (the round-1 version did
+      np.object_ big-int modular math plus a per-shingle Python FNV
+      loop — ~10x slower on the build side).
     """
-    p = (1 << 61) - 1
-    rng = np.random.RandomState(seed)
-    A = rng.randint(1, p, size=num_hashes, dtype=np.int64)
-    Bv = rng.randint(0, p, size=num_hashes, dtype=np.int64)
-
-    def fnv64(s: str) -> int:
-        h = 0xCBF29CE484222325
-        for ch in s.encode("utf-8"):
-            h ^= ch
-            h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h & 0x7FFFFFFFFFFFFFFF
+    idx = (np.arange(1, num_hashes + 1, dtype=np.uint64) + np.uint64(seed)) * _SPLITMIX_GOLDEN
 
     @pandas_udf("array<long>")
     def sig(shingles: pd.Series) -> pd.Series:
@@ -104,12 +111,10 @@ def minhash_signature_udf(num_hashes: int = 64, seed: int = 1, ngram: int = 3):
             if sh is None or len(sh) == 0:
                 out.append([0] * num_hashes)
                 continue
-            xs = np.array([fnv64(s) for s in sh], dtype=np.int64)
-            # (num_hashes, n_shingles) via broadcasting, min over shingles
-            m = (
-                (A[:, None].astype(np.object_) * xs[None, :] + Bv[:, None]) % p
-            ).min(axis=1)
-            out.append([int(v) for v in m])
+            xs = pd.util.hash_array(np.asarray(sh, dtype=object))  # uint64
+            # (num_hashes, n_shingles): mix then min over shingles
+            m = _splitmix64(xs[None, :] + idx[:, None]).min(axis=1)
+            out.append(m.astype(np.int64).tolist())
         return pd.Series(out)
 
     return sig
@@ -129,6 +134,14 @@ def minhash_lsh_candidates(
 
     rows/bands: 64 hashes / 16 bands = 4 rows per band (s-curve
     threshold ~ (1/16)^(1/4) ~ 0.5 Jaccard).
+
+    max_bucket (ENFORCED): buckets holding more than this many docs —
+    boilerplate-heavy web content: cookie banners, parked domains —
+    are dropped from the self-join instead of going quadratic; a pair
+    only needs ONE surviving shared band-bucket to stay a candidate,
+    so the cost is bounded recall loss on boilerplate, not corruption.
+    ``minhash_bucket_overflow`` returns the dropped buckets + sizes so
+    a pipeline can count/inspect what the cap skipped.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature_udf(num_hashes, ngram=ngram)
@@ -160,6 +173,18 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select("doc_id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
+    # hot-bucket cap: one aggregation on the same (band, bucket) keys
+    # as the self-join shuffle; oversized buckets are excluded BEFORE
+    # the join so no reducer ever owns a quadratic cross-product
+    sizes = bands_df.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("_bsize")
+    )
+    bands_df = (
+        bands_df.join(sizes, ["band", "bucket"])
+        .filter(F.col("_bsize") <= max_bucket)
+        .drop("_bsize")
+    )
+
     a = bands_df.alias("a")
     b = bands_df.alias("b")
     pairs = (
@@ -184,42 +209,105 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_bucket_overflow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Audit twin of minhash_lsh_candidates: the (band, bucket, n_docs)
+    rows the cap EXCLUDED from the self-join — surface these as
+    pipeline metrics rather than silently widening the skip."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature_udf(num_hashes, ngram=ngram)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingles_col(text_col, ngram).alias("shingles"),
+    ).withColumn("sig", sig(F.col("shingles")))
+    bands_df = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return (
+        bands_df.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
+    )
+
+
 # ----------------------------------------------------------- simhash
 
 
-def simhash_udf(seed: int = 7):
-    """64-bit SimHash over whitespace tokens (term-frequency weighted)."""
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per doc as PURE column expressions — no UDF, the
+    whole computation stays inside whole-stage codegen (the round-1
+    version ran per-token, per-bit Python loops in a pandas UDF).
 
-    def fnv64(s: str) -> int:
-        h = 0xCBF29CE484222325
-        for ch in s.encode("utf-8"):
-            h ^= ch
-            h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h
+    Pinned engine-portable spec (the DuckDB oracle in
+    __spark_entry__.py recomputes it bit-identically):
+    - tokens: lowercase, whitespace-split, non-empty; weight = tf
+    - token hash: md5 hex; bits 63..32 = first 8 hex digits, bits
+      31..0 = next 8 (md5 is available in any engine, unlike
+      xxhash64 whose seed/variant differs per engine)
+    - fp bit i = 1 iff sum(tf * (2*bit_i(token)-1)) > 0
+    - stored signed int64; docs with no tokens -> fp = 0
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    md5c = F.md5(F.col("tok"))
+    hi = F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long")
 
-    @pandas_udf("long")
-    def sim(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            if not t:
-                out.append(0)
-                continue
-            acc = np.zeros(64, dtype=np.int64)
-            from collections import Counter
+    def bit(i: int):
+        src, sh = (lo, i) if i < 32 else (hi, i - 32)
+        return F.shiftrightunsigned(src, sh).bitwiseAND(F.lit(1))
 
-            for tok, cnt in Counter(t.lower().split()).items():
-                h = fnv64(tok)
-                bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-                acc += (2 * bits - 1) * cnt
-            fp = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    fp |= 1 << i
-            # store as signed 64-bit
-            out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
-        return pd.Series(out, dtype="int64")
-
-    return sim
+    sums = tf.groupBy("doc_id").agg(
+        *[
+            F.sum(F.col("cnt") * (bit(i) * 2 - 1)).alias(f"s{i}")
+            for i in range(64)
+        ]
+    )
+    fp = None
+    for i in range(64):
+        # bit 63 of a signed long is the sign bit: adding MIN_LONG sets
+        # it without overflow
+        piece = F.when(
+            F.col(f"s{i}") > 0,
+            F.lit(-(1 << 63)) if i == 63 else F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        fp = piece if fp is None else fp + piece
+    sums = sums.select("doc_id", fp.cast("long").alias("fp"))
+    # docs whose text tokenizes to nothing get fp = 0
+    return df.select(F.col(id_col).alias("doc_id")).join(
+        sums, "doc_id", "left"
+    ).select("doc_id", F.coalesce("fp", F.lit(0)).alias("fp"))
 
 
 def simhash_near_dups(
@@ -233,12 +321,13 @@ def simhash_near_dups(
     Block-permutation bucketing: split the 64-bit fingerprint into
     (k+1) blocks — any pair within Hamming k agrees on >=1 whole block
     (pigeonhole), so the self-join runs per (block_idx, block_value)
-    bucket, never all-pairs.
+    bucket, never all-pairs. EXACT result set: equals brute-force
+    all-pairs Hamming <= k (the pigeonhole guarantee is lossless),
+    which is what the DuckDB oracle checks.
     """
     nblocks = max_hamming + 1
     width = 64 // nblocks
-    sim = simhash_udf()
-    base = df.select(F.col(id_col).alias("doc_id"), sim(F.col(text_col)).alias("fp"))
+    base = simhash_fingerprints(df, text_col, id_col)
 
     blocks = base.select(
         "doc_id",
