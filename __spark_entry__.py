@@ -438,6 +438,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         eng = TextSearchEngine({"content": _searcher(spark, sf, "content")})
         return eng.search("fast key", mode="exact", k=10).hits
 
+    # ---- symbol tier (deterministic code fixture; webtext has no
+    # definition sites) — reference: SymbolSearchTool /
+    # FindReferencesTool / GoToDefinitionTool ----
+
+    def _code_lines(spark):
+        from coa_codesearch_mcp_spark.fixtures.codegen import generate_code_lines
+
+        return spark.createDataFrame(
+            generate_code_lines(),
+            "doc_id long, path string, line_no int, line string",
+        )
+
+    def symbols_extract(spark, sf):
+        from coa_codesearch_mcp_spark.functions.symbols import build_symbols_table
+
+        return (
+            build_symbols_table(_code_lines(spark))
+            .select("doc_id", "path", F.col("line_no").cast("long").alias("line_no"), "kind", "name")
+            .orderBy("doc_id", "line_no", "name")
+        )
+
+    def symbol_search_exact(spark, sf):
+        # Tier-1 exact case-insensitive lookup (COLLATE NOCASE analog)
+        from coa_codesearch_mcp_spark.functions.symbols import (
+            build_symbols_table,
+        )
+
+        lines = _code_lines(spark)
+        return (
+            build_symbols_table(lines)
+            .filter(F.lower(F.col("name")) == "userservice")
+            .select("doc_id", "path", F.col("line_no").cast("long").alias("line_no"), "kind", "name")
+            .orderBy("path", "line_no")
+        )
+
+    def find_references_strict(spark, sf):
+        from coa_codesearch_mcp_spark.functions.symbols import find_references
+
+        return (
+            find_references(_code_lines(spark), "CacheManager", strict=True, k=1000)
+            .select("doc_id", "path", F.col("line_no").cast("long").alias("line_no"), "ref_type")
+            .orderBy("doc_id", "line_no")
+        )
+
+    def goto_def(spark, sf):
+        from coa_codesearch_mcp_spark.functions.symbols import goto_definition
+
+        return goto_definition(_code_lines(spark), "QueryPlanner", k=5).select(
+            "doc_id",
+            "path",
+            F.col("line_no").cast("long").alias("line_no"),
+            "kind",
+            "name",
+            F.col("case_exact").cast("long").alias("case_exact"),
+        )
+
     def q1_term_wand(spark, sf):
         return _store_searcher(spark, sf).search_term("spark", k=10)
 
@@ -485,6 +541,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_corpus_stats": a3_corpus_stats,
         "o3_recent_events": o3_recent_events,
         "q16_knn_cosine": q16_knn_cosine,
+        "symbols_extract": symbols_extract,
+        "symbol_search_exact": symbol_search_exact,
+        "find_references_strict": find_references_strict,
+        "goto_def": goto_def,
         "dedup_exact": dedup_exact,
         "dedup_jaccard_pairs": dedup_jaccard_pairs,
         "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -760,6 +820,71 @@ WHERE bit_count(xor(a.fp, b.fp)) <= 8
 ORDER BY doc_a, doc_b
 """
     sql["knn_lsh_ann"] = sql["q16_knn_cosine"]
+
+    # ---- symbol tier oracles: the SAME deterministic code fixture as
+    # a VALUES CTE (fixtures/codegen.py), so DuckDB re-derives the
+    # symbols table / references / definitions independently ----
+    from coa_codesearch_mcp_spark.fixtures.codegen import code_lines_sql_values
+
+    _CODE_CTE = code_lines_sql_values()
+    _SYM_RE = r"\b(class|interface|struct|enum|function|def|func|fn)\s+(\w+)"
+    _SYMS_CTE = rf"""
+syms AS (
+  SELECT doc_id, path, CAST(line_no AS BIGINT) AS line_no,
+         regexp_extract(line, '{_SYM_RE}', 1) AS kind,
+         regexp_extract(line, '{_SYM_RE}', 2) AS name
+  FROM code_lines
+  WHERE regexp_matches(line, '{_SYM_RE}')
+)
+"""
+    sql["symbols_extract"] = rf"""
+WITH {_CODE_CTE},
+{_SYMS_CTE}
+SELECT doc_id, path, line_no, kind, name
+FROM syms ORDER BY doc_id, line_no, name
+"""
+    sql["symbol_search_exact"] = rf"""
+WITH {_CODE_CTE},
+{_SYMS_CTE}
+SELECT doc_id, path, line_no, kind, name
+FROM syms WHERE lower(name) = 'userservice'
+ORDER BY path, line_no
+"""
+    sql["find_references_strict"] = rf"""
+WITH {_CODE_CTE},
+{_SYMS_CTE},
+def_docs AS (
+  SELECT DISTINCT doc_id FROM syms WHERE lower(name) = 'cachemanager'
+),
+hits AS (
+  SELECT doc_id, path, CAST(line_no AS BIGINT) AS line_no, line
+  FROM code_lines
+  WHERE regexp_matches(line, '(?i)\bCacheManager\b')
+    AND doc_id NOT IN (SELECT doc_id FROM def_docs)
+)
+SELECT doc_id, path, line_no,
+       CASE
+         WHEN regexp_matches(line, '(?i)new\s+CacheManager') THEN 'instantiation'
+         WHEN regexp_matches(line, '(?i):\s*CacheManager') THEN 'inheritance'
+         WHEN regexp_matches(line, '(?i)extends\s+CacheManager') THEN 'inheritance'
+         WHEN regexp_matches(line, '(?i)implements\s+CacheManager') THEN 'implementation'
+         WHEN regexp_matches(line, '(?i)CacheManager\.') THEN 'static-access'
+         WHEN regexp_matches(line, '(?i)<CacheManager>') THEN 'generic-type'
+         WHEN regexp_matches(line, '(?i)import.*CacheManager') THEN 'import'
+         WHEN regexp_matches(line, '(?i)using.*CacheManager') THEN 'using'
+         ELSE 'usage'
+       END AS ref_type
+FROM hits ORDER BY doc_id, line_no
+"""
+    sql["goto_def"] = rf"""
+WITH {_CODE_CTE},
+{_SYMS_CTE}
+SELECT doc_id, path, line_no, kind, name,
+       CAST(CASE WHEN name = 'QueryPlanner' THEN 1 ELSE 0 END AS BIGINT) AS case_exact
+FROM syms WHERE lower(name) = 'queryplanner'
+ORDER BY case_exact DESC, path, line_no
+LIMIT 5
+"""
     sql["q1_term_bm25_wand"] = sql["q1_term_bm25"]
     sql["q2_and_bm25_wand"] = sql["q2_and_bm25"]
     sql["q3_or_bm25_wand"] = sql["q3_or_bm25"]

@@ -85,6 +85,18 @@ TOKENIZERS = {
 }
 
 
+# Python str.split()'s whitespace set (CPython Py_UNICODE_ISSPACE:
+# 09-0D, 1C-1F, 20, 85, A0, 1680, 2000-200A, 2028, 2029, 202F, 205F,
+# 3000) as a JVM regex class. Java's plain \s is ASCII-only, so the
+# built-in FIELD_PATTERNS path must use THIS to tokenize byte-identically
+# to the Python chains (store index and query analyzer) on non-ASCII
+# whitespace — the store==logical rank-identity contract.
+PY_WHITESPACE_RE = (
+    "[\\t-\\r\\x1c-\\x1f \\x85\\xa0\\u1680\\u2000-\\u200a"
+    "\\u2028\\u2029\\u202f\\u205f\\u3000]+"
+)
+
+
 def tokens_col(field: str, text_col: str = "text"):
     """Column expression: analyzed (term,pos) array for ``field``.
 
@@ -94,7 +106,7 @@ def tokens_col(field: str, text_col: str = "text"):
     the pandas UDF.
     """
     if field == FIELD_PATTERNS:
-        toks = F.split(F.lower(F.col(text_col)), r"\s+")
+        toks = F.split(F.lower(F.col(text_col)), PY_WHITESPACE_RE)
         toks = F.filter(toks, lambda x: x != F.lit(""))
         return F.transform(
             toks,

@@ -221,7 +221,83 @@ def workspace_hash(url_col: str = "url"):
     return F.substring(F.sha2(F.lower(F.col(url_col)), 256), 1, 16)
 
 
+# -------------------------------------------------------------- S11
+
+def clear_index(root: str) -> None:
+    """S11 standalone: drop every index table + the manifest (the
+    reference's index-clear op, LuceneIndexService.cs ClearIndex path).
+    Idempotent — a partially-cleared root clears the rest."""
+    import os
+    import shutil
+
+    for d in ("tokens", "doclens", "dictionary", "postings"):
+        shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+    mf = os.path.join(root, "manifest.json")
+    if os.path.exists(mf):
+        os.remove(mf)
+
+
 # -------------------------------------------------------------- S10
+
+def repair_index(spark, root: str, cfg=None) -> dict:
+    """S10 Fix path (reference: LuceneIndexService.cs:985-1066 —
+    CheckIndex then rewrite broken segments): validate, and when the
+    postings tier disagrees with the dictionary (missing/corrupt
+    bucket partitions), drop ONLY the affected bucket partitions +
+    their manifest units and re-run the postings stage over them.
+    Tokens are never re-tokenized. Returns the post-repair report."""
+    import os
+    import shutil
+
+    from ..index.store import IndexConfig, IndexReader, IndexWriter
+
+    reader = IndexReader(spark, root)
+    report = validate_index(reader)
+    if report["ok"]:
+        return {"repaired": False, "report": report}
+
+    from pyspark.sql import functions as F2
+
+    dictionary = spark.read.parquet(os.path.join(root, "dictionary"))
+    postings_path = os.path.join(root, "postings")
+    postings = spark.read.parquet(postings_path)
+    bad_buckets = sorted(
+        r["bucket"]
+        for r in (
+            postings.groupBy("term", "bucket")
+            .agg(F2.sum("n").alias("df_blocks"))
+            .join(dictionary.select("term", "df"), "term", "full")
+            .filter(
+                F2.coalesce(F2.col("df_blocks"), F2.lit(-1))
+                != F2.coalesce(F2.col("df"), F2.lit(-2))
+            )
+            .select(
+                F2.coalesce(
+                    F2.col("bucket"),
+                    F2.pmod(
+                        F2.xxhash64("term"), F2.lit(reader.n_buckets)
+                    ).cast("int"),
+                ).alias("bucket")
+            )
+            .distinct()
+            .collect()
+        )
+    )
+    if cfg is None:
+        saved = reader.manifest.get_stats("config")
+        cfg = IndexConfig(**saved) if saved else IndexConfig(field=reader.field)
+    w = IndexWriter(spark, root, cfg)
+    for b in bad_buckets:
+        shutil.rmtree(os.path.join(postings_path, f"bucket={b}"), ignore_errors=True)
+        w.manifest.stage("postings")["units"].pop(str(b), None)
+    w.manifest.commit()
+    w.postings_stage()
+    return {
+        "repaired": True,
+        "buckets": bad_buckets,
+        "report": validate_index(IndexReader(spark, root)),
+    }
+
 
 def validate_index(reader) -> dict:
     """S10 CheckIndex analog: recount docs/terms/postings from data

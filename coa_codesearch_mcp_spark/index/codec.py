@@ -81,7 +81,6 @@ def encode_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    idf: float,
     avgdl: float,
     k1: float = 1.2,
     b: float = 0.75,
@@ -90,8 +89,13 @@ def encode_blocks(
 
     Returns dicts ready to become DataFrame rows:
     {block_no, first_doc, last_doc, n, doc_gaps, tfs, max_tf, ub}
-    ``ub`` is the exact block-max BM25 contribution (idf * tfn with
-    each doc's true dl) — tighter than the global idf*(k1+1) bound.
+    ``ub`` is the exact block-max TF-NORMALIZATION bound (tfn with
+    each doc's true dl, NO idf): the build stage therefore never needs
+    per-term df — at web scale the term dictionary is itself a big
+    table, and joining/broadcasting it into the encode shuffle was the
+    one build-side step that could not scale. The query side multiplies
+    by idf (which it already looks up per term) to recover the exact
+    idf*tfn block-max bound — same pruning power, zero extra state.
     """
     order = np.argsort(doc_ids, kind="stable")
     doc_ids = doc_ids[order].astype(np.int64)
@@ -108,7 +112,6 @@ def encode_blocks(
         gaps[0] = d[0] - prev_last
         gaps[1:] = np.diff(d).astype(np.uint64)
         tfn = t * (k1 + 1.0) / (t + k1 * (1.0 - b + b * dl / avgdl))
-        contrib = idf * tfn
         blocks.append(
             {
                 "block_no": bno,
@@ -118,7 +121,7 @@ def encode_blocks(
                 "doc_gaps": varint_encode(gaps),
                 "tfs": varint_encode(t.astype(np.uint64)),
                 "max_tf": int(t.max()),
-                "ub": float(contrib.max()),
+                "ub": float(tfn.max()),
             }
         )
         prev_last = int(d[-1])

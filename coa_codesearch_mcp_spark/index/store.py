@@ -80,8 +80,8 @@ class IndexConfig:
 
 
 # on-disk layout version: bump when table layouts change shape
-# (v2: dictionary is bucket-partitioned; v1 wrote a single file)
-LAYOUT_VERSION = 2
+# (v2: bucket-partitioned dictionary; v3: idf-free block-max ub)
+LAYOUT_VERSION = 3
 
 
 class IndexWriter:
@@ -105,6 +105,11 @@ class IndexWriter:
                     os.remove(self.manifest.path)
                 self.manifest = Manifest.load_or_create(root)
             self.manifest.data["layout"] = LAYOUT_VERSION
+        # persist the build config so ops tools (repair_index) can
+        # reconstruct a writer for this index without guessing
+        from dataclasses import asdict
+
+        self.manifest.set_stats("config", asdict(self.cfg))
 
     # ------------------------------------------------ stage 1: tokens
 
@@ -212,9 +217,14 @@ class IndexWriter:
             .mode("append")
             .parquet(os.path.join(self.root, "doclens"))
         )
-        # metadata-only count (parquet footers) — no input re-scan
-        n = written.count()
-        return {"n_docs": n}
+        # one light job over the column-pruned read-back: doc count
+        # (parquet footers) + token count (A5 indexing metrics — the
+        # reference logs docs/sec and token totals per batch,
+        # FileIndexingService.cs metrics)
+        agg = written.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("toks")
+        ).first()
+        return {"n_docs": int(agg["n"]), "n_tokens": int(agg["toks"] or 0)}
 
     def tokenize_stage(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
         cfg = self.cfg
@@ -239,7 +249,11 @@ class IndexWriter:
                     {
                         "inputs": {"id_range": [c * cfg.chunk_size, (c + 1) * cfg.chunk_size]},
                         "wave_docs": metrics["n_docs"],
+                        "wave_tokens": metrics.get("n_tokens", 0),
                         "wave_secs": round(dt, 3),
+                        "wave_docs_per_sec": round(metrics["n_docs"] / dt, 2)
+                        if dt > 0
+                        else None,
                     },
                 )
             self.manifest.commit()
@@ -319,19 +333,20 @@ class IndexWriter:
 
         def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
             """One (term, salt) posting sub-list -> encoded block rows.
-            Blocks are built per range_id so they never cross ranges."""
+            Blocks are built per range_id so they never cross ranges.
+            NO df/idf here: the stored block-max ub is idf-free (see
+            codec.encode_blocks), so the encode shuffle carries no
+            dictionary state at all."""
             out_rows = []
             term = pdf["term"].iloc[0]
             salt = int(pdf["salt"].iloc[0])
             bucket = int(pdf["bucket"].iloc[0])
-            df_t = int(pdf["df"].iloc[0])
-            idf = idf_py(df_t, n_docs)
             pdf = pdf.sort_values("doc_id")
             for range_id, grp in pdf.groupby("range_id", sort=True):
                 doc_ids = grp["doc_id"].to_numpy(np.int64)
                 tfs = grp["tf"].to_numpy(np.int64)
                 dls = grp["dl"].to_numpy(np.float64)
-                blocks = encode_blocks(doc_ids, tfs, dls, idf, avgdl)
+                blocks = encode_blocks(doc_ids, tfs, dls, avgdl)
                 if with_pos:
                     positions = grp["positions"].tolist()
                 for bi, blk in enumerate(blocks):
@@ -379,12 +394,21 @@ class IndexWriter:
             F.col("tok.tf").alias("tf"),
             F.col("tok.positions").alias("positions"),
         )
-        # dl rides in the row — no doclens join on the build path
+        # dl rides in the row — no doclens join on the build path.
+        # Dictionary state on the build side is ONLY the hot-term salt
+        # map (df > salt_threshold => n_salts > 1): tiny by
+        # construction (stopwords), so it broadcasts at any corpus
+        # size. bucket is recomputed inline (pure hash of the term) —
+        # the FULL dictionary (one row per distinct term: billions at
+        # web scale) is never joined or broadcast into the encode
+        # shuffle.
+        hot = dictionary.filter(F.col("n_salts") > 1).select("term", "n_salts")
+        bucket_col = F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int")
         base = (
-            exploded.filter(
-                F.pmod(F.xxhash64("term"), F.lit(cfg.n_buckets)).cast("int").isin(todo)
-            )
-            .join(F.broadcast(dictionary), "term")
+            exploded.filter(bucket_col.isin(todo))
+            .join(F.broadcast(hot), "term", "left")
+            .withColumn("n_salts", F.coalesce("n_salts", F.lit(1)))
+            .withColumn("bucket", bucket_col)
             .withColumn(
                 "range_id", F.expr(f"CAST(doc_id DIV {range_size} AS LONG)")
             )
@@ -392,7 +416,7 @@ class IndexWriter:
                 "salt", F.pmod(F.col("range_id"), F.col("n_salts")).cast("int")
             )
         )
-        cols = ["term", "salt", "bucket", "df", "range_id", "doc_id", "tf", "dl"]
+        cols = ["term", "salt", "bucket", "range_id", "doc_id", "tf", "dl"]
         if with_pos:
             cols.append("positions")
         t0 = time.perf_counter()
@@ -515,12 +539,12 @@ class IndexReader:
 
     @property
     def n_buckets(self) -> int:
+        """Configured bucket count from the persisted build config —
+        NOT the dictionary directory count: a small segment may only
+        materialize a subset of bucket partitions."""
         if not hasattr(self, "_n_buckets"):
-            import glob as _glob
-
-            self._n_buckets = len(
-                _glob.glob(os.path.join(self.root, "dictionary", "bucket=*"))
-            ) or 1
+            cfg = self.manifest.get_stats("config") or {}
+            self._n_buckets = int(cfg["n_buckets"])
         return self._n_buckets
 
     def lookup_terms(self, terms: list[str]) -> dict[str, dict]:

@@ -186,15 +186,21 @@ class Searcher:
             ).filter(F.col("phrase_tf") > 0)
 
         # score the phrase as one pseudo-term: df = number of docs with
-        # a match, tf = phrase_tf (pinned spec)
-        cand = cand.select("doc_id", "dl", "phrase_tf")
-        stats = cand.agg(F.count(F.lit(1)).alias("df")).collect()[0]
-        phrase_df = int(stats["df"]) or 1
+        # a match, tf = phrase_tf (pinned spec). df is a global window
+        # count over the (tiny) candidate relation — ONE job, no
+        # driver-side collect between candidate generation and scoring
+        # (round-1 VERDICT perf item #4).
+        from pyspark.sql import Window as W
+
+        cand = cand.select("doc_id", "dl", "phrase_tf").withColumn(
+            "phrase_df",
+            F.greatest(F.count(F.lit(1)).over(W.partitionBy(F.lit(1))), F.lit(1)),
+        )
         scored = cand.select(
             "doc_id",
             bm25_contrib(
                 F.col("phrase_tf"),
-                F.lit(phrase_df),
+                F.col("phrase_df"),
                 F.col("dl"),
                 self.ix.n_docs,
                 self.ix.avgdl,

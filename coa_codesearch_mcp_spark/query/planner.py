@@ -101,6 +101,36 @@ class QueryPlan:
     reason: str
 
 
+# Q15: the reference's full Lucene special-char escape sets
+# (QueryPreprocessor.cs:20-22, EscapeQueryText :206-221 and the
+# wildcard/fuzzy variants :223-246). Brackets are deliberately NOT
+# escaped by EscapeQueryText (the reference skips them; they go
+# through _process_pattern_query's balanced-bracket handling instead).
+LUCENE_SPECIAL_CHARS = list("+-=&|!(){}[]^\"~*?:\\/<>")
+_ESCAPE_SKIP_ALWAYS = {"[", "]"}
+
+
+def escape_query_text(query: str, keep: set[str] | None = None) -> str:
+    """Escape every Lucene special character except brackets (and any
+    in ``keep``). keep={'*','?'} is the wildcard variant, keep={'~'}
+    the fuzzy variant (QueryPreprocessor.cs:206-246)."""
+    keep = (keep or set()) | _ESCAPE_SKIP_ALWAYS
+    out = query
+    for c in LUCENE_SPECIAL_CHARS:
+        if c in keep:
+            continue
+        out = out.replace(c, "\\" + c)
+    return out
+
+
+def escape_for_wildcard(query: str) -> str:
+    return escape_query_text(query, keep={"*", "?"})
+
+
+def escape_for_fuzzy(query: str) -> str:
+    return escape_query_text(query, keep={"~"})
+
+
 def _is_valid_bracket_syntax(query: str) -> bool:
     if _RANGE_SYNTAX.search(query):
         return True

@@ -195,23 +195,27 @@ class StoreSearcher:
                     out.append((d, count, per_doc_dl[d]))
             return pd.DataFrame(out, columns=["doc_id", "phrase_tf", "dl"])
 
-        cand = (
-            blocks.repartition("range_id")
-            .groupBy("range_id")
-            .applyInPandas(
-                lambda key, pdf: per_range(pdf),
-                "doc_id long, phrase_tf long, dl long",
-            )
-        ).cache()
-        phrase_df = cand.count() or 1
+        cand = blocks.repartition("range_id").groupBy("range_id").applyInPandas(
+            lambda key, pdf: per_range(pdf),
+            "doc_id long, phrase_tf long, dl long",
+        )
+        # phrase df via a global window over the tiny candidate set —
+        # no cache()+count() job pair before scoring (round-1 VERDICT
+        # perf item #4): the whole query is ONE job again
+        from pyspark.sql import Window as W
+
         from .bm25 import bm25_contrib
 
+        cand = cand.withColumn(
+            "phrase_df",
+            F.greatest(F.count(F.lit(1)).over(W.partitionBy(F.lit(1))), F.lit(1)),
+        )
         scored = cand.select(
             "doc_id",
             F.round(
                 bm25_contrib(
                     F.col("phrase_tf"),
-                    F.lit(phrase_df),
+                    F.col("phrase_df"),
                     F.col("dl"),
                     self.reader.n_docs,
                     self.reader.avgdl,

@@ -44,7 +44,11 @@ class TermCursor:
     decoded_blocks: int = 0
 
     def __post_init__(self):
-        self.term_ub = max(b["ub"] for b in self.blocks) if self.blocks else 0.0
+        # stored block ub is idf-FREE (codec.encode_blocks: max tfn);
+        # the cursor owns the term's idf, so bounds are idf * ub here
+        self.term_ub = (
+            self.idf * max(b["ub"] for b in self.blocks) if self.blocks else 0.0
+        )
         if not self.blocks:
             self.exhausted = True
 
@@ -67,7 +71,7 @@ class TermCursor:
 
     @property
     def current_block_ub(self) -> float:
-        return self.blocks[self.bi]["ub"]
+        return self.idf * self.blocks[self.bi]["ub"]
 
     @property
     def current_block_last(self) -> int:

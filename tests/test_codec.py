@@ -26,7 +26,7 @@ def test_block_roundtrip_multi_block():
     doc_ids = np.sort(rng.choice(10_000, size=n, replace=False)).astype(np.int64)
     tfs = rng.randint(1, 50, size=n).astype(np.int64)
     dls = rng.randint(10, 500, size=n).astype(np.float64)
-    blocks = encode_blocks(doc_ids, tfs, dls, idf=1.5, avgdl=100.0)
+    blocks = encode_blocks(doc_ids, tfs, dls, avgdl=100.0)
     assert len(blocks) == 3
     assert blocks[0]["n"] == 128 and blocks[2]["n"] == 44
     got_docs, got_tfs = decode_blocks(blocks)
@@ -35,21 +35,48 @@ def test_block_roundtrip_multi_block():
     # skip pointers
     assert blocks[1]["first_doc"] == int(doc_ids[128])
     assert blocks[1]["last_doc"] == int(doc_ids[255])
-    # block-max ub bounds every contribution in the block
+    # block-max ub bounds every tf-normalization in the block
+    # (idf-free: the query side multiplies by idf, wand.py TermCursor)
     from coa_codesearch_mcp_spark.query.bm25 import B, K1
 
     for bi, blk in enumerate(blocks):
         t = tfs[bi * 128 : (bi + 1) * 128].astype(float)
         d = dls[bi * 128 : (bi + 1) * 128]
-        contrib = 1.5 * t * (K1 + 1) / (t + K1 * (1 - B + B * d / 100.0))
-        assert blk["ub"] >= contrib.max() - 1e-12
+        tfn = t * (K1 + 1) / (t + K1 * (1 - B + B * d / 100.0))
+        assert blk["ub"] >= tfn.max() - 1e-12
 
 
 def test_single_block_decode_standalone():
     doc_ids = np.array([5, 9, 100], dtype=np.int64)
     tfs = np.array([1, 2, 3], dtype=np.int64)
     dls = np.array([10.0, 20.0, 30.0])
-    blocks = encode_blocks(doc_ids, tfs, dls, idf=1.0, avgdl=20.0)
+    blocks = encode_blocks(doc_ids, tfs, dls, avgdl=20.0)
     d, t = decode_block(blocks[0]["doc_gaps"], blocks[0]["tfs"], 3, -1)
     assert list(d) == [5, 9, 100]
     assert list(t) == [1, 2, 3]
+
+
+def test_driver_side_xxh64_matches_spark(spark):
+    """hashing.py must be bit-identical to F.xxhash64 (seed 42) so
+    term->bucket routing never launches a job (store.lookup_terms)."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from coa_codesearch_mcp_spark.index.hashing import term_bucket, xxh64_signed
+
+    rng = random.Random(5)
+    pool = string.ascii_letters + string.digits + "_-./:~ \u00e4\u00fc\u6f22"
+    words = ["", "a", "spark", "x" * 31, "y" * 32, "z" * 33] + [
+        "".join(rng.choices(pool, k=rng.randint(1, 80))) for _ in range(300)
+    ]
+    df = spark.createDataFrame([(w,) for w in words], "term string").select(
+        "term",
+        F.xxhash64("term").alias("h"),
+        F.pmod(F.xxhash64("term"), F.lit(16)).cast("int").alias("b"),
+    )
+    for r in df.collect():
+        enc = r["term"].encode("utf-8")
+        assert xxh64_signed(enc) == r["h"], repr(r["term"])
+        assert term_bucket(r["term"], 16) == r["b"]

@@ -1,0 +1,186 @@
+"""Symbol tier: symbols table, tiered search, find-references
+classification + strict mode, goto-definition, confidence ladder,
+full Lucene escaping."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from coa_codesearch_mcp_spark.fixtures.codegen import generate_code_lines
+from coa_codesearch_mcp_spark.functions.symbols import (
+    build_symbols_table,
+    classify_reference_col,
+    confidence_col,
+    find_references,
+    goto_definition,
+    symbol_search,
+)
+
+
+@pytest.fixture(scope="module")
+def lines(spark):
+    return spark.createDataFrame(
+        generate_code_lines(),
+        "doc_id long, path string, line_no int, line string",
+    ).cache()
+
+
+@pytest.fixture(scope="module")
+def symbols(lines):
+    return build_symbols_table(lines).cache()
+
+
+def test_fixture_one_definition_per_line(lines, symbols):
+    """The DuckDB oracle extracts at most one (kind, name) per line —
+    assert the fixture respects that so regexp_extract(...) is exact."""
+    per_line = symbols.groupBy("doc_id", "line_no").count()
+    assert per_line.filter(F.col("count") > 1).count() == 0
+
+
+def test_symbols_table_kinds(symbols):
+    kinds = {r["kind"] for r in symbols.select("kind").distinct().collect()}
+    assert "class" in kinds and "interface" in kinds and "def" in kinds
+
+
+def test_symbol_search_tier1_exact(lines):
+    got = symbol_search(lines, "UserService", k=50)
+    rows = got.collect()
+    assert len(rows) > 0
+    assert all(r["name"] == "UserService" for r in rows)
+    assert all(r["kind"] == "class" for r in rows)
+
+
+def test_symbol_search_tier1_case_insensitive(lines):
+    """COLLATE NOCASE analog (SQLiteSymbolService.cs:293-296)."""
+    got = symbol_search(lines, "userservice", k=50).collect()
+    assert len(got) > 0
+    assert all(r["name"] == "UserService" for r in got)
+
+
+def test_symbol_search_tier2_fallback(lines):
+    """A name with no definition site falls through to the content
+    scan tier (SymbolSearchTool.cs tier 2 on tier-1 miss)."""
+    got = symbol_search(lines, "lookup", k=5).collect()
+    assert len(got) > 0
+    assert all(r["kind"] == "reference" for r in got)
+
+
+def test_find_references_classification(spark):
+    rows = [
+        (1, "a.cs", 0, "var x = new CacheManager();"),
+        (1, "a.cs", 1, "public class Foo : CacheManager {"),
+        (1, "a.cs", 2, "class Bar extends CacheManager {"),
+        (1, "a.cs", 3, "class Baz implements CacheManager {"),
+        (1, "a.cs", 4, "return CacheManager.Default;"),
+        (1, "a.cs", 5, "List<CacheManager> items;"),
+        (1, "a.cs", 6, "import CacheManager"),
+        (1, "a.cs", 7, "using CacheManager;"),
+        (1, "a.cs", 8, "touch CacheManager here"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, path string, line_no int, line string"
+    )
+    got = {
+        r["line_no"]: r["ref_type"]
+        for r in find_references(df, "CacheManager").collect()
+    }
+    assert got == {
+        0: "instantiation",
+        1: "inheritance",
+        2: "inheritance",
+        3: "implementation",
+        4: "static-access",
+        5: "generic-type",
+        6: "import",
+        7: "using",
+        8: "usage",
+    }
+
+
+def test_find_references_strict_excludes_definition_docs(lines, symbols):
+    """Strict mode: MUST_NOT type_names (FindReferencesTool.cs:376-398)
+    — no hit may come from a doc that defines the symbol."""
+    def_docs = {
+        r["doc_id"]
+        for r in symbols.filter(F.lower("name") == "cachemanager")
+        .select("doc_id")
+        .collect()
+    }
+    assert def_docs, "fixture must define CacheManager somewhere"
+    got = find_references(lines, "CacheManager", strict=True, k=1000).collect()
+    assert len(got) > 0
+    assert all(r["doc_id"] not in def_docs for r in got)
+    # non-strict includes them
+    loose = find_references(lines, "CacheManager", strict=False, k=1000).collect()
+    assert any(r["doc_id"] in def_docs for r in loose)
+
+
+def test_goto_definition_prefers_exact_case(spark):
+    rows = [
+        (1, "a.py", 0, "class queryplanner:"),
+        (2, "b.py", 0, "class QueryPlanner:"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, path string, line_no int, line string"
+    )
+    got = goto_definition(df, "QueryPlanner").collect()
+    assert got[0]["doc_id"] == 2 and got[0]["case_exact"] == 1
+    assert got[1]["case_exact"] == 0
+
+
+def test_confidence_ladder(spark):
+    """Hand-derived values per ConfidenceCalculatorService.cs:42-77:
+    base (definition 0.90 / word 0.75 / contains 0.50 / partial 0.25 /
+    floor 0.10) + not-in-string +0.05 + comment -0.20."""
+    rows = [
+        (0, "class UserService {"),          # definition: .90 + .05
+        (1, "x = UserService()"),            # word boundary: .75 + .05
+        (2, "makeUserServiceNow()"),         # contains: .50 + .05
+        (3, "user did things"),              # partial ('use'): .25 + .05
+        (4, "nothing here"),                 # floor: .10 + .05
+        (5, "// see UserService docs"),      # word - comment: .75 - .20 + .05
+    ]
+    df = spark.createDataFrame(rows, "i int, line string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", confidence_col(F.col("line"), "UserService").alias("c")
+        ).collect()
+    }
+    assert got == {0: 0.95, 1: 0.80, 2: 0.55, 3: 0.30, 4: 0.15, 5: 0.60}
+
+
+def test_confidence_filename_bonus(spark):
+    df = spark.createDataFrame(
+        [("x = UserService()", "src/userservice.cs")], "line string, path string"
+    )
+    got = df.select(
+        confidence_col(
+            F.col("line"), "UserService", file_name=F.col("path")
+        ).alias("c")
+    ).first()["c"]
+    assert got == 0.95  # 0.75 word + 0.05 string + 0.15 filename==query
+
+
+def test_full_lucene_escaping():
+    """Q15: the reference's full special-char set
+    (QueryPreprocessor.cs:20-22,206-246), brackets excluded."""
+    from coa_codesearch_mcp_spark.query.planner import (
+        escape_for_fuzzy,
+        escape_for_wildcard,
+        escape_query_text,
+    )
+
+    # Reference parity INCLUDING its sequential-replace quirk: chars
+    # before '\\' in the array get their inserted backslash doubled by
+    # the later '\\' pass (QueryPreprocessor.cs:206-221 iterates the
+    # array in order and does plain string Replace per char).
+    assert escape_query_text("a+b") == "a\\\\+b"
+    assert escape_query_text("arr[0]") == "arr[0]"  # brackets skipped
+    # '/', '<', '>' come AFTER '\\' in the array -> single backslash
+    assert escape_query_text("a/b<c>d") == r"a\/b\<c\>d"
+    # a literal backslash in the input is itself escaped
+    assert escape_query_text("a\\c/d") == r"a\\c\/d"
+    # wildcard variant keeps * and ?
+    assert escape_for_wildcard("sp*k?/") == r"sp*k?\/"
+    # fuzzy variant keeps ~
+    assert escape_for_fuzzy("spark~2/") == r"spark~2\/"

@@ -134,3 +134,29 @@ def test_operators_never_split_or_length_filtered():
     # '->x' + '>x' (reference quirk); '[A]' is ANNOTATION, unsplit.
     out = analyze_positions("content", "- ->x [A]")
     assert out == [("-", 0), ("->x", 1), (">x", 1), ("[a]", 2)]
+
+
+def test_patterns_builtin_path_matches_python_on_unicode_ws(spark):
+    """ADVICE round-2: the JVM built-in FIELD_PATTERNS tokenizer must
+    split on the SAME whitespace set as the Python chain (str.split),
+    including U+00A0, U+2028, U+205F - else the logical index and the
+    store index/query analyzer tokenize differently."""
+    from coa_codesearch_mcp_spark.analysis.chains import FIELD_PATTERNS, analyze_positions
+    from coa_codesearch_mcp_spark.analysis.udfs import tokens_col
+
+    texts = [
+        "plain ascii words",
+        "non\u00a0breaking\u00a0space",
+        "line\u2028sep and\u2029para",
+        "math\u205fspace\u3000ideographic",
+        "mixed Case\tTabs\r\nCRLF",
+        "ctrl\x1cseps\x1ftoo",
+        "en\u2002quad\u200athin",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        [(x["term"], x["pos"]) for x in r["toks"]]
+        for r in df.select(tokens_col(FIELD_PATTERNS).alias("toks")).collect()
+    ]
+    want = [analyze_positions(FIELD_PATTERNS, t) for t in texts]
+    assert got == want

@@ -117,3 +117,60 @@ def test_validate_index(spark, tmp_path, web):
     IndexWriter(spark, root, cfg).build(docs)
     report = validate_index(IndexReader(spark, root))
     assert report["ok"], report
+
+
+def test_clear_index_standalone(spark, documents, tmp_path):
+    """S11: drops every table + manifest; reader then refuses."""
+    import pytest as _pytest
+
+    from coa_codesearch_mcp_spark.functions.tools_ops import clear_index
+    from coa_codesearch_mcp_spark.index.store import (
+        IndexConfig, IndexReader, IndexWriter,
+    )
+
+    root = str(tmp_path / "ix_clear")
+    cfg = IndexConfig(field="content_patterns", n_buckets=4, range_size=256,
+                      chunk_size=256, salt_threshold=10_000)
+    IndexWriter(spark, root, cfg).build(documents.limit(50))
+    assert IndexReader(spark, root).n_docs == 50
+    clear_index(root)
+    import os
+    assert not os.path.exists(os.path.join(root, "postings"))
+    with _pytest.raises(ValueError):
+        IndexReader(spark, root)
+
+
+def test_repair_index_fixes_lost_bucket(spark, documents, tmp_path):
+    """S10 Fix path: delete one postings bucket partition -> validate
+    fails -> repair re-encodes ONLY that bucket (tokens untouched) ->
+    validate passes and search works."""
+    import glob
+    import os
+    import shutil
+
+    from coa_codesearch_mcp_spark.functions.tools_ops import repair_index, validate_index
+    from coa_codesearch_mcp_spark.index.store import (
+        IndexConfig, IndexReader, IndexWriter,
+    )
+    from coa_codesearch_mcp_spark.query.store_executor import StoreSearcher
+
+    root = str(tmp_path / "ix_repair")
+    cfg = IndexConfig(field="content_patterns", n_buckets=4, range_size=256,
+                      chunk_size=256, salt_threshold=10_000)
+    IndexWriter(spark, root, cfg).build(documents.limit(100))
+    tokens_before = sorted(glob.glob(f"{root}/tokens/**/*.parquet", recursive=True))
+
+    victims = sorted(glob.glob(os.path.join(root, "postings", "bucket=*")))
+    shutil.rmtree(victims[0])
+    assert not validate_index(IndexReader(spark, root))["ok"]
+
+    out = repair_index(spark, root)
+    assert out["repaired"] is True
+    assert out["report"]["ok"] is True
+    assert int(victims[0].rsplit("=", 1)[1]) in out["buckets"]
+    # no re-tokenization
+    assert tokens_before == sorted(
+        glob.glob(f"{root}/tokens/**/*.parquet", recursive=True)
+    )
+    hits = StoreSearcher(IndexReader(spark, root)).search_term("spark", k=5)
+    assert len(hits.collect()) > 0
