@@ -122,6 +122,21 @@ def main() -> None:
 
     timed("q16_knn", knn)
 
+    # WAND pruning evidence (not a timing — decode counters over the
+    # store index for a stopword-ish OR query, per doc range)
+    from coa_codesearch_mcp_spark.query.wand import WandStats, wand_topk
+
+    blocks, info = ss.reader.postings_blocks(["spark", "stream", "hash"])
+    stats = WandStats()
+    pdfb = blocks.toPandas()
+    for _, grp in pdfb.groupby("range_id"):
+        term_blocks = {
+            t: (info[t]["idf"], g.sort_values("block_no").to_dict("records"))
+            for t, g in grp.groupby("term")
+            if t in info
+        }
+        wand_topk(term_blocks, ss.reader.avgdl, k=10, stats=stats)
+
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -143,6 +158,9 @@ def main() -> None:
                 "index_docs_per_sec_store": round(
                     n_docs / timings["build_store_index"], 2
                 ),
+                "wand_blocks_total": stats.blocks_total,
+                "wand_blocks_decoded": stats.blocks_decoded,
+                "wand_docs_scored": stats.docs_scored,
             }
         )
     )

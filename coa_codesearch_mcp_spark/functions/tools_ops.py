@@ -221,6 +221,44 @@ def workspace_hash(url_col: str = "url"):
     return F.substring(F.sha2(F.lower(F.col(url_col)), 256), 1, 16)
 
 
+# -------------------------------------------------------------- A3/A6
+
+def index_stats(reader) -> dict:
+    """A3 index stats + A6 per-batch stats from manifest lineage
+    (reference analog: IndexWorkspaceTool's summary + the per-batch
+    metrics FileIndexingService logs): corpus totals plus per-wave
+    docs / tokens / seconds / docs-per-sec."""
+    corpus = reader.manifest.get_stats("corpus") or {}
+    units = reader.manifest.stage("tokens")["units"]
+    waves: dict[tuple, dict] = {}
+    for unit in units.values():
+        # units of one wave carry identical wave-level metrics — the
+        # (secs, docs, tokens) triple identifies the wave exactly
+        key = (
+            unit.get("wave_secs", 0.0),
+            unit.get("wave_docs", 0),
+            unit.get("wave_tokens", 0),
+        )
+        waves.setdefault(
+            key,
+            {
+                "docs": unit.get("wave_docs", 0),
+                "tokens": unit.get("wave_tokens", 0),
+                "secs": unit.get("wave_secs", 0.0),
+            },
+        )
+    for w in waves.values():
+        w["docs_per_sec"] = round(w["docs"] / w["secs"], 2) if w["secs"] else None
+    return {
+        "n_docs": corpus.get("n_docs"),
+        "n_terms": corpus.get("n_terms"),
+        "total_tokens": corpus.get("total_tokens"),
+        "avgdl": corpus.get("avgdl"),
+        "n_chunks": len(units),
+        "waves": list(waves.values()),
+    }
+
+
 # -------------------------------------------------------------- S11
 
 def clear_index(root: str) -> None:

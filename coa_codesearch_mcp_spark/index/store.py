@@ -77,6 +77,14 @@ class IndexConfig:
     salt_threshold: int = 1 << 20      # df above which a term is salted
     max_salts: int = 64
     with_positions: bool = True
+    # explicit stage task counts. None = derive from the session's
+    # defaultParallelism (4x for tokenize, 2x for encode). Set them
+    # when the SAME job must run with an IDENTICAL physical plan at
+    # different cluster sizes (the north rule's N-vs-4N comparison
+    # fixes the job and varies executors — task counts size to DATA,
+    # not to whatever cluster happens to run the job).
+    tokenize_tasks: int | None = None
+    encode_tasks: int | None = None
 
 
 # on-disk layout version: bump when table layouts change shape
@@ -132,7 +140,9 @@ class IndexWriter:
         # partitionBy write then fans out to at most `sub` files per
         # chunk dir (bounded, NOT tasks x chunks). html blobs and
         # unrelated columns are projected away before the shuffle.
-        target = max(len(chunk_ids), 4 * self.spark.sparkContext.defaultParallelism)
+        target = cfg.tokenize_tasks or max(
+            len(chunk_ids), 4 * self.spark.sparkContext.defaultParallelism
+        )
         sub = max(1, -(-target // len(chunk_ids)))  # ceil
         tok_input = wave_docs.select(F.col(id_col), F.col(text_col)).repartition(
             len(chunk_ids) * sub,
@@ -426,7 +436,7 @@ class IndexWriter:
         # encode stage (encode cost is CPU per group, not bytes);
         # groupBy on the same keys reuses the partitioning — one
         # shuffle total.
-        n_enc = 2 * self.spark.sparkContext.defaultParallelism
+        n_enc = cfg.encode_tasks or 2 * self.spark.sparkContext.defaultParallelism
         encoded = (
             base.select(*cols)
             .repartition(n_enc, "term", "salt")

@@ -347,19 +347,50 @@ class DeltaIndexManager:
         self.manifest.commit()
 
 
+def retry_parked(manager: DeltaIndexManager) -> int:
+    """W4 redelivery: re-apply micro-batches parked by attach_stream
+    after a failure (reference analog: the indexing retry queue,
+    FileIndexingService's failed-file requeue). Returns the number of
+    batches redelivered. Idempotent — a batch that fails again stays
+    parked."""
+    import glob
+    import shutil
+
+    done = 0
+    for d in sorted(glob.glob(os.path.join(manager.root, "retry", "batch_*"))):
+        batch = manager.spark.read.parquet(d)
+        manager.apply_batch(batch)
+        shutil.rmtree(d, ignore_errors=True)
+        done += 1
+    return done
+
+
 def attach_stream(
     manager: DeltaIndexManager,
     changes_stream: DataFrame,
     checkpoint_dir: str,
     auto_compact: bool = False,
+    park_failures: bool = False,
 ):
     """W1: Structured Streaming ingestion — the micro-batch is the
     debounce window; each batch MERGEs via apply_batch (last-event-
     wins inside the batch absorbs rapid change storms per url).
-    auto_compact: run the size-tiered merge policy after each batch."""
+    auto_compact: run the size-tiered merge policy after each batch.
+    park_failures (W4): a batch whose MERGE throws is parked under
+    root/retry/ for explicit redelivery (retry_parked) instead of
+    failing the stream — Spark's own task retry handles transient
+    executor errors below this; the park path is for poison batches."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        manager.apply_batch(batch_df)
+        try:
+            manager.apply_batch(batch_df)
+        except Exception:
+            if not park_failures:
+                raise
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(manager.root, "retry", f"batch_{batch_id:09d}")
+            )
+            return
         if auto_compact:
             manager.maybe_compact()
 

@@ -266,3 +266,47 @@ def test_streaming_ingestion(spark, mgr, tmp_path):
     q = attach_stream(mgr, stream, str(tmp_path / "ckpt")).start()
     q.awaitTermination(120)
     assert len(hits(mgr, ["streamedword"])) == 1
+
+
+def test_retry_queue_parks_and_redelivers(spark, mgr, tmp_path):
+    """W4: a poison micro-batch is parked under root/retry/ instead of
+    failing the stream; retry_parked redelivers it."""
+    from coa_codesearch_mcp_spark.streaming.incremental import (
+        attach_stream,
+        retry_parked,
+    )
+
+    src = tmp_path / "retry_src"
+    src.mkdir()
+    _changes(
+        spark,
+        [("https://retry.org/1.html", "upsert", "retrymarker content", TS, TS)],
+    ).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(
+        "url string, op string, text string, warc_ts timestamp, event_ts timestamp"
+    ).parquet(str(src))
+
+    # poison the first delivery
+    real = mgr.apply_batch
+    calls = {"n": 0}
+
+    def flaky(batch):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient sink failure")
+        return real(batch)
+
+    mgr.apply_batch = flaky
+    q = attach_stream(mgr, stream, str(tmp_path / "retry_ckpt"), park_failures=True).start()
+    q.awaitTermination(120)
+    import glob
+
+    parked = glob.glob(f"{mgr.root}/retry/batch_*")
+    assert len(parked) == 1
+    assert hits(mgr, ["retrymarker"]) == {}
+
+    assert retry_parked(mgr) == 1
+    assert len(hits(mgr, ["retrymarker"])) == 1
+    assert glob.glob(f"{mgr.root}/retry/batch_*") == []
+    mgr.apply_batch = real

@@ -1,0 +1,83 @@
+"""Physical-plan assertions: the plans must be the ones we'd want at
+100 TB, not just ones that pass (VERDICT round-1 'What's wrong' #2).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs_join_builds_hits(plan_str: str, probe_marker: str) -> bool:
+    """True iff the doc_id BroadcastHashJoin builds (broadcasts) the
+    top-k hit side: the join line says BuildRight and the left/probe
+    child printed first is the docs relation (probe_marker), with the
+    hit set's TakeOrderedAndProject appearing after it."""
+    lines = plan_str.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastHashJoin [doc_id" in line:
+            if "BuildRight" not in line:
+                return False
+            rest = "\n".join(lines[i + 1 :])
+            probe_at = rest.find(probe_marker)
+            hits_at = rest.find("TakeOrderedAndProject")
+            return probe_at != -1 and hits_at != -1 and probe_at < hits_at
+    return False
+
+
+@pytest.fixture()
+def no_aqe(spark):
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield
+    spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def test_entry_broadcasts_hits_not_docs(spark, no_aqe):
+    """J2: the tiny top-k hit set is the broadcast side; the docs table
+    (the 100-TB relation) is the probe side, never broadcast."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.entry(spark)
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    assert _docs_join_builds_hits(plan, "documents.parquet"), plan
+    assert len(df.collect()) == 10
+
+
+def test_search_rescored_broadcasts_hits(spark, documents, no_aqe):
+    from coa_codesearch_mcp_spark.index.build import build_logical_index
+    from coa_codesearch_mcp_spark.query.engine import TextSearchEngine
+    from coa_codesearch_mcp_spark.query.executor import Searcher
+
+    eng = TextSearchEngine(
+        {"content": Searcher(build_logical_index(documents, field="content"))}
+    )
+    docs = documents.withColumn(
+        "url",
+        F.concat(F.lit("https://example.org/d/"), F.col("doc_id"), F.lit(".html")),
+    ).withColumn("warc_ts", F.to_timestamp(F.lit("2024-04-01 00:00:00")))
+    out = eng.search_rescored("spark", docs, k=5)
+    plan = out._jdf.queryExecution().sparkPlan().toString()
+    assert _docs_join_builds_hits(plan, "documents.parquet"), plan
+    assert len(out.collect()) == 5
+
+
+def test_store_query_prunes_buckets_and_terms(spark, documents, tmp_path, no_aqe):
+    """Posting reads must show bucket partition pruning and term
+    pushdown at the scan (SURVEY scale contract)."""
+    from coa_codesearch_mcp_spark.index.store import (
+        IndexConfig,
+        IndexReader,
+        IndexWriter,
+    )
+
+    root = str(tmp_path / "ix_plan")
+    cfg = IndexConfig(
+        field="content_patterns", n_buckets=8, range_size=256, chunk_size=512,
+        salt_threshold=10_000,
+    )
+    IndexWriter(spark, root, cfg).build(documents.limit(200))
+    reader = IndexReader(spark, root)
+    blocks, info = reader.postings_blocks(["spark"])
+    assert "spark" in info
+    plan = blocks._jdf.queryExecution().sparkPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan, plan
+    assert "PushedFilters" in plan and "term" in plan, plan

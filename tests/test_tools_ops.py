@@ -174,3 +174,22 @@ def test_repair_index_fixes_lost_bucket(spark, documents, tmp_path):
     )
     hits = StoreSearcher(IndexReader(spark, root)).search_term("spark", k=5)
     assert len(hits.collect()) > 0
+
+
+def test_index_stats_summary(spark, documents, tmp_path):
+    """A3/A6: corpus totals + per-wave batch metrics from manifest."""
+    from coa_codesearch_mcp_spark.functions.tools_ops import index_stats
+    from coa_codesearch_mcp_spark.index.store import (
+        IndexConfig, IndexReader, IndexWriter,
+    )
+
+    root = str(tmp_path / "ix_stats")
+    cfg = IndexConfig(field="content_patterns", n_buckets=4, range_size=128,
+                      chunk_size=128, chunks_per_wave=2, salt_threshold=10_000)
+    IndexWriter(spark, root, cfg).build(documents.limit(100))
+    st = index_stats(IndexReader(spark, root))
+    assert st["n_docs"] == 100
+    assert st["n_terms"] > 0 and st["total_tokens"] > 0
+    assert st["n_chunks"] >= 1 and len(st["waves"]) >= 1
+    assert sum(w["docs"] for w in st["waves"]) == 100
+    assert all(w["docs_per_sec"] is None or w["docs_per_sec"] > 0 for w in st["waves"])

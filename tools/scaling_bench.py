@@ -30,10 +30,15 @@ from coa_codesearch_mcp_spark.index.store import IndexConfig, IndexWriter
 
 # ParallelGC: measurably faster + steadier than G1 for this batch
 # workload (array-heavy parquet writes) in a single JVM
+# IDENTICAL physical plan at both levels: shuffle partitions and
+# stage task counts are fixed by the JOB (sized for the larger
+# level), not derived from the current core count — exactly how the
+# same spark-submit job behaves on N vs 4N executors.
+plan_tasks = int(os.environ.get("SPARK_GRAFT_PLAN_TASKS", "32"))
 spark = (
     SparkSession.builder.master(f"local[{cores}]")
     .appName(f"scale{cores}")
-    .config("spark.sql.shuffle.partitions", str(cores))
+    .config("spark.sql.shuffle.partitions", str(plan_tasks))
     .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     .config("spark.sql.adaptive.enabled", "true")
@@ -73,7 +78,8 @@ shutil.rmtree(wroot, ignore_errors=True)
 cfg = IndexConfig(field="content", n_buckets=32, range_size=1 << 14,
                   chunk_size=1 << 14, chunks_per_wave=64,
                   salt_threshold=10_000, max_salts=64,
-                  with_positions=True)
+                  with_positions=True,
+                  tokenize_tasks=plan_tasks, encode_tasks=plan_tasks)
 rep = sys.argv[4] if len(sys.argv) > 4 else "0"
 root = os.path.join(out_root, f"ix_{cores}_{rep}")
 shutil.rmtree(root, ignore_errors=True)
@@ -115,23 +121,42 @@ def main() -> None:
     out_root = "/tmp/spark_graft_scaling"
     os.makedirs(out_root, exist_ok=True)
 
-    # alternate levels across reps to decorrelate machine drift;
-    # keep the best (least-interfered) run per level
+    # Each rep runs the two levels BACK TO BACK (a paired experiment:
+    # this shared virtualized box drifts +/-10-20% over tens of
+    # minutes, and pairing means both levels see ~the same machine
+    # state, so the drift cancels out of the ratio). The headline is
+    # the MEDIAN paired efficiency across reps; per-rep pairs and the
+    # per-level bests are all recorded for audit.
+    import statistics
+
+    pairs = []
     small = large = None
     for rep in range(reps):
         s = run_level(n, n_docs, out_root, rep)
         l = run_level(4 * n, n_docs, out_root, rep)
+        pairs.append(
+            {
+                "rep": rep,
+                "small": s,
+                "large": l,
+                "eff": round(l["docs_per_sec"] / (4 * s["docs_per_sec"]), 3),
+            }
+        )
         if small is None or s["secs"] < small["secs"]:
             small = s
         if large is None or l["secs"] < large["secs"]:
             large = l
-    eff = large["docs_per_sec"] / (4 * small["docs_per_sec"])
+    eff = statistics.median(p["eff"] for p in pairs)
     result = {
         "metric": "indexing_scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
         "n_docs": n_docs,
         "reps": reps,
+        "pairs": pairs,
+        "best_of_levels_eff": round(
+            large["docs_per_sec"] / (4 * small["docs_per_sec"]), 3
+        ),
         "levels": {f"local[{n}]": small, f"local[{4*n}]": large},
         "rule": "throughput(4N) / (4 * throughput(N)) >= 0.8",
     }
