@@ -115,6 +115,21 @@ class TermCursor:
             if self.bi >= len(self.blocks):
                 self.exhausted = True
 
+    def shallow_block_for(self, target: int) -> tuple[float, int]:
+        """(block-max ub contribution at ``target``, that block's
+        last_doc) using METADATA ONLY — the BMW NextShallow peek. No
+        decode, no cursor movement. Contribution is 0.0 when the block
+        that could contain ``target`` starts after it (the term then
+        cannot score target at all)."""
+        bi = self.bi
+        while bi < len(self.blocks) and self.blocks[bi]["last_doc"] < target:
+            bi += 1
+        if bi >= len(self.blocks):
+            return 0.0, 1 << 62
+        blk = self.blocks[bi]
+        ub = self.idf * blk["ub"] if blk["first_doc"] <= target else 0.0
+        return ub, blk["last_doc"]
+
     def score_at(self, doc: int, avgdl: float) -> float:
         if self.doc_ids is None:
             self._decode_current(avgdl)
@@ -209,44 +224,52 @@ def wand_topk(
             pivot_doc = live[pivot_idx].current_doc(avgdl)
 
         if live[0].current_doc(avgdl) == pivot_doc:
-            # block-max check before full evaluation
-            involved = [c for c in live if c.current_doc(avgdl) <= pivot_doc]
-            for c in involved:
-                c.seek(pivot_doc, avgdl)
-            involved = [c for c in involved if not c.exhausted]
-            bm_ub = sum(
-                c.current_block_ub
-                for c in involved
-                if c.current_doc(avgdl) == pivot_doc
-            )
-            do_eval = True
-            if mode == "or" and bm_ub + EPS <= theta:
-                do_eval = False
-            if do_eval:
-                matched = [
-                    c for c in involved if c.current_doc(avgdl) == pivot_doc
-                ]
-                if mode == "and" and len(matched) < required:
-                    for c in matched:
-                        c.advance(avgdl)
+            prefix = [c for c in live if c.current_doc(avgdl) <= pivot_doc]
+            if mode == "or":
+                # BMW shallow check (metadata only, nothing decoded):
+                # sum of the block maxima of the blocks that could
+                # contain the pivot across the prefix lists
+                shallow = [c.shallow_block_for(pivot_doc) for c in prefix]
+                bm_ub = sum(u for u, _ in shallow)
+                if bm_ub + EPS <= theta:
+                    # no doc in these blocks can beat theta: jump to
+                    # the nearest block boundary past the pivot
+                    # (Ding & Suel Alg. 2 GetNewCandidate) — entire
+                    # blocks are skipped without decoding
+                    d = min(last for _, last in shallow) + 1
+                    if pivot_idx + 1 < len(live):
+                        d = min(d, live[pivot_idx + 1].current_doc(avgdl))
+                    d = max(d, pivot_doc + 1)
+                    for c in prefix:
+                        c.seek(d, avgdl)
                     continue
-                score = sum(c.score_at(pivot_doc, avgdl) for c in matched)
-                if stats is not None:
-                    stats.docs_scored += 1
-                entry = (round(score, 4), -pivot_doc)
-                if len(heap) < k:
-                    heapq.heappush(heap, entry)
-                    if len(heap) == k and mode == "or":
-                        theta = heap[0][0]
-                elif entry > heap[0]:
-                    heapq.heapreplace(heap, entry)
-                    theta = heap[0][0]
+            # full evaluation at the pivot
+            for c in prefix:
+                c.seek(pivot_doc, avgdl)
+            matched = [
+                c
+                for c in prefix
+                if not c.exhausted and c.current_doc(avgdl) == pivot_doc
+            ]
+            if not matched:
+                continue
+            if mode == "and" and len(matched) < required:
                 for c in matched:
                     c.advance(avgdl)
-            else:
-                for c in involved:
-                    if c.current_doc(avgdl) == pivot_doc:
-                        c.advance(avgdl)
+                continue
+            score = sum(c.score_at(pivot_doc, avgdl) for c in matched)
+            if stats is not None:
+                stats.docs_scored += 1
+            entry = (round(score, 4), -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+                if len(heap) == k and mode == "or":
+                    theta = heap[0][0]
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+                theta = heap[0][0]
+            for c in matched:
+                c.advance(avgdl)
         else:
             # advance the leading cursor with the largest ub to pivot
             leaders = [c for c in live if c.current_doc(avgdl) < pivot_doc]

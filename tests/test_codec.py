@@ -80,3 +80,61 @@ def test_driver_side_xxh64_matches_spark(spark):
         enc = r["term"].encode("utf-8")
         assert xxh64_signed(enc) == r["h"], repr(r["term"])
         assert term_bucket(r["term"], 16) == r["b"]
+
+
+def test_wand_prunes_on_skewed_postings():
+    """Block-max WAND must SKIP whole blocks (Ding & Suel 2011): the
+    classic stopword-x-rare-term query decodes a small fraction of the
+    stopword's blocks — the rare terms' pivots leap over them and the
+    shallow block-max check rejects the rest on metadata alone — while
+    returning EXACTLY the decode-everything scorer's top-k. (On the
+    uniform synthetic bench corpus all block maxima are equal, so
+    pruning legitimately shows ~1.0 there; this is the distribution
+    the algorithm exists for.)"""
+    import numpy as np
+
+    from coa_codesearch_mcp_spark.index.codec import (
+        BLOCK_SIZE,
+        encode_blocks,
+        varint_encode,
+    )
+    from coa_codesearch_mcp_spark.query.wand import (
+        WandStats,
+        exhaustive_topk_range,
+        wand_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    N_IDS, avgdl = 500_000, 120.0
+
+    def make_list(n, idf):
+        docs = np.sort(rng.choice(N_IDS, size=n, replace=False)).astype(np.int64)
+        tfs = rng.zipf(1.7, size=n).clip(1, 100).astype(np.int64)
+        dls = (
+            np.exp(rng.normal(np.log(avgdl), 0.7, size=n)).clip(10, 3000)
+        ).astype(np.int64)
+        blocks = encode_blocks(docs, tfs, dls.astype(np.float64), avgdl=avgdl)
+        # attach per-block dl blobs exactly as the store build does
+        for bi, blk in enumerate(blocks):
+            blk["dls"] = varint_encode(
+                dls.astype(np.uint64)[bi * BLOCK_SIZE : (bi + 1) * BLOCK_SIZE]
+            )
+        return (idf, blocks)
+
+    term_blocks = {
+        "the": make_list(400_000, 0.2),    # stopword: dense, low idf
+        "zebra": make_list(600, 6.0),      # rare, high idf
+        "quark": make_list(900, 5.2),
+    }
+    stats = WandStats()
+    hits = wand_topk(term_blocks, avgdl, k=10, stats=stats)
+    assert len(hits) == 10
+    frac = stats.blocks_decoded / stats.blocks_total
+    assert frac < 0.5, f"expected real block skipping, got {frac:.3f}"
+    # evaluation count is a tiny fraction of total postings
+    assert stats.docs_scored < 5_000
+
+    # and the pruned result is EXACT: equals the decode-everything scorer
+    want = [(d, round(sc, 4)) for d, sc in exhaustive_topk_range(term_blocks, avgdl, 10)]
+    got = [(d, round(sc, 4)) for d, sc in hits]
+    assert got == want
