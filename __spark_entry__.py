@@ -828,11 +828,16 @@ ORDER BY doc_a, doc_b
 
     _CODE_CTE = code_lines_sql_values()
     _SYM_RE = r"\b(class|interface|struct|enum|function|def|func|fn)\s+(\w+)"
+    # ALL matches per line (parallel unnest zips positionally in
+    # DuckDB), matching build_symbols_table's regexp_extract_all +
+    # explode — a single regexp_extract would only pin the first
+    # definition on multi-definition lines (round-2 ADVICE; the
+    # fixture now contains such lines)
     _SYMS_CTE = rf"""
 syms AS (
   SELECT doc_id, path, CAST(line_no AS BIGINT) AS line_no,
-         regexp_extract(line, '{_SYM_RE}', 1) AS kind,
-         regexp_extract(line, '{_SYM_RE}', 2) AS name
+         unnest(regexp_extract_all(line, '{_SYM_RE}', 1)) AS kind,
+         unnest(regexp_extract_all(line, '{_SYM_RE}', 2)) AS name
   FROM code_lines
   WHERE regexp_matches(line, '{_SYM_RE}')
 )

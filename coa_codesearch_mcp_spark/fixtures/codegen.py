@@ -72,6 +72,15 @@ def generate_code_lines(n_docs: int = 40, seed: int = 13) -> list[tuple]:
             lines.append(f"// see {cls} for details")
         if rng.random() < 0.4:
             lines.append(f"interface {iface} {{ }}")
+        if d % 7 == 0:
+            # TWO definition sites on one line: pins the
+            # all-matches-per-line extraction path (regexp_extract_all
+            # + explode vs a first-match-only regexp_extract) on both
+            # the Spark side and the DuckDB oracle
+            lines.append(
+                f"interface {iface}Inline {{}} "
+                f"class {cls}Inline implements {iface}Inline {{}}"
+            )
         for i, line in enumerate(lines):
             rows.append((d, path, i, line))
     return rows

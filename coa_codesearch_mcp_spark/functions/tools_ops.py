@@ -232,9 +232,11 @@ def index_stats(reader) -> dict:
     units = reader.manifest.stage("tokens")["units"]
     waves: dict[tuple, dict] = {}
     for unit in units.values():
-        # units of one wave carry identical wave-level metrics — the
-        # (secs, docs, tokens) triple identifies the wave exactly
-        key = (
+        # group by the explicit wave_id the writer records per wave;
+        # the metric-value triple is only a fallback for manifests
+        # written before wave_id existed (it can collapse two waves
+        # with coincidentally equal metrics — round-2 ADVICE)
+        key = unit.get("wave_id") or (
             unit.get("wave_secs", 0.0),
             unit.get("wave_docs", 0),
             unit.get("wave_tokens", 0),

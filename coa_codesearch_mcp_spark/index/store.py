@@ -279,6 +279,11 @@ class IndexWriter:
                     str(c),
                     {
                         "inputs": {"id_range": [c * cfg.chunk_size, (c + 1) * cfg.chunk_size]},
+                        # explicit wave identity: a chunk commits exactly
+                        # once, so min(chunk id in wave) is unique — two
+                        # waves with coincidentally equal metrics must
+                        # not collapse in index_stats (round-2 ADVICE)
+                        "wave_id": f"wave_{min(wave)}",
                         "wave_docs": metrics["n_docs"],
                         "wave_tokens": metrics.get("n_tokens", 0),
                         "wave_secs": round(dt, 3),
@@ -516,6 +521,7 @@ class IndexWriter:
                     str(c),
                     {
                         "inputs": {"kind": "segment-merge"},
+                        "wave_id": f"wave_{min(wave)}",
                         "wave_docs": metrics["n_docs"],
                         "wave_secs": round(dt, 3),
                     },

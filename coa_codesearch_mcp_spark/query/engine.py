@@ -13,9 +13,10 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 from ..analysis.chains import FIELD_CONTENT
+from .cache import QueryCache, rows_to_local_df
 from .planner import (
     QueryPlan,
     SearchMode,
@@ -47,16 +48,60 @@ class SearchResult:
     search_type: str
     fallback_used: bool = False
     error: str | None = None
+    from_cache: bool = False
 
 
 class TextSearchEngine:
     """Routes queries across per-field searchers (logical or store
-    backed — both expose the same search_*/execute contract)."""
+    backed — both expose the same search_*/execute contract).
 
-    def __init__(self, searchers: dict[str, object]):
+    Carries a driver-side result cache (reference parity:
+    QueryCacheService.cs:41-103, probed in TextSearchTool.cs:147-162
+    and populated at :432-440): a repeated query within the sliding
+    TTL returns the stored top-k rows as a local relation — ZERO Spark
+    jobs launched. Pass ``cache=None`` plus ``use_cache=False`` to
+    disable (e.g. benchmarking cold paths)."""
+
+    def __init__(
+        self,
+        searchers: dict[str, object],
+        cache: QueryCache | None = None,
+        use_cache: bool = True,
+    ):
         if FIELD_CONTENT not in searchers:
             raise ValueError("a 'content' searcher is required")
         self.searchers = searchers
+        self.cache = cache if cache is not None else (QueryCache() if use_cache else None)
+
+    # ------------------------------------------------------- caching
+
+    def _spark(self) -> SparkSession | None:
+        s = SparkSession.getActiveSession()
+        if s is not None:
+            return s
+        content = self.searchers[FIELD_CONTENT]
+        reader = getattr(content, "reader", None)
+        if reader is not None:
+            return reader.spark
+        ix = getattr(content, "ix", None)
+        if ix is not None:
+            return ix.postings.sparkSession
+        return None
+
+    def _run_cached(self, key: tuple, run) -> tuple[DataFrame, bool]:
+        """run() -> lazy hits DataFrame. Returns (hits, from_cache).
+        On a miss the result is materialized once (it is top-k small
+        by contract), stored, and returned as a local relation."""
+        spark = self._spark()
+        if self.cache is None or spark is None:
+            return run(), False
+        rows = self.cache.get(key)
+        if rows is not None:
+            return rows_to_local_df(spark, rows), True
+        df = run()
+        collected = [(r["doc_id"], r["score"]) for r in df.collect()]
+        self.cache.put(key, collected)
+        return rows_to_local_df(spark, collected), False
 
     def search(
         self,
@@ -72,15 +117,19 @@ class TextSearchEngine:
         content = self.searchers[FIELD_CONTENT]
 
         # explicit modes bypass smart routing (TextSearchTool.cs:192-212)
-        if m == SearchMode.EXACT:
-            ast = build_query(query, "literal", FIELD_CONTENT)
-            return SearchResult(content.execute(ast, k), None, "literal")
-        if m == SearchMode.FUZZY:
-            ast = build_query(query, "fuzzy", FIELD_CONTENT)
-            return SearchResult(content.execute(ast, k), None, "fuzzy")
-        if m == SearchMode.REGEX:
-            ast = build_query(query, "regex", FIELD_CONTENT)
-            return SearchResult(content.execute(ast, k), None, "regex")
+        explicit = {
+            SearchMode.EXACT: "literal",
+            SearchMode.FUZZY: "fuzzy",
+            SearchMode.REGEX: "regex",
+        }
+        if m in explicit:
+            kind = explicit[m]
+            key = (query, FIELD_CONTENT, kind, k)
+            hits, hit = self._run_cached(
+                key,
+                lambda: content.execute(build_query(query, kind, FIELD_CONTENT), k),
+            )
+            return SearchResult(hits, None, kind, from_cache=hit)
 
         # auto: smart routing + validation
         plan = smart_process(query, m)
@@ -90,18 +139,26 @@ class TextSearchEngine:
                 content._empty(), plan, "standard", error=err
             )
         field = plan.target_field if plan.target_field in self.searchers else FIELD_CONTENT
-        searcher = self.searchers[field]
-        ast = build_query(plan.processed_query, "standard", field)
-        hits = searcher.execute(ast, k)
+        key = (plan.processed_query, field, "standard", k)
+        state = {"fallback": False}
 
-        # tiered fallback: routed field found nothing -> content
-        # (TextSearchTool.cs:313-343)
-        fallback = False
-        if field != FIELD_CONTENT and len(hits.take(1)) == 0:
-            ast2 = build_query(plan.processed_query, "standard", FIELD_CONTENT)
-            hits = content.execute(ast2, k)
-            fallback = True
-        return SearchResult(hits, plan, "standard", fallback_used=fallback)
+        def run() -> DataFrame:
+            searcher = self.searchers[field]
+            ast = build_query(plan.processed_query, "standard", field)
+            hits = searcher.execute(ast, k)
+            # tiered fallback: routed field found nothing -> content
+            # (TextSearchTool.cs:313-343)
+            if field != FIELD_CONTENT and len(hits.take(1)) == 0:
+                ast2 = build_query(plan.processed_query, "standard", FIELD_CONTENT)
+                hits = content.execute(ast2, k)
+                state["fallback"] = True
+            return hits
+
+        hits, hit = self._run_cached(key, run)
+        return SearchResult(
+            hits, plan, "standard",
+            fallback_used=state["fallback"], from_cache=hit,
+        )
 
     def search_rescored(
         self,

@@ -10,7 +10,9 @@ def _docs_join_builds_hits(plan_str: str, probe_marker: str) -> bool:
     """True iff the doc_id BroadcastHashJoin builds (broadcasts) the
     top-k hit side: the join line says BuildRight and the left/probe
     child printed first is the docs relation (probe_marker), with the
-    hit set's TakeOrderedAndProject appearing after it."""
+    hit set appearing after it. The hit side is TakeOrderedAndProject
+    on a cold path, or a LocalTableScan when the engine's query cache
+    materialized the top-k rows (both are the tiny side)."""
     lines = plan_str.splitlines()
     for i, line in enumerate(lines):
         if "BroadcastHashJoin [doc_id" in line:
@@ -18,7 +20,15 @@ def _docs_join_builds_hits(plan_str: str, probe_marker: str) -> bool:
                 return False
             rest = "\n".join(lines[i + 1 :])
             probe_at = rest.find(probe_marker)
-            hits_at = rest.find("TakeOrderedAndProject")
+            hit_marks = [
+                p
+                for p in (
+                    rest.find("TakeOrderedAndProject"),
+                    rest.find("LocalTableScan"),
+                )
+                if p != -1
+            ]
+            hits_at = min(hit_marks) if hit_marks else -1
             return probe_at != -1 and hits_at != -1 and probe_at < hits_at
     return False
 

@@ -1,0 +1,120 @@
+"""Query result cache (reference: QueryCacheService.cs:41-103 sliding
+15-min TTL LRU, probed at tool level TextSearchTool.cs:147-162):
+a repeated identical search returns identical rows with ZERO Spark
+jobs launched."""
+
+import pytest
+
+from coa_codesearch_mcp_spark.index.build import build_logical_index
+from coa_codesearch_mcp_spark.query.cache import QueryCache, rows_to_local_df
+from coa_codesearch_mcp_spark.query.engine import TextSearchEngine
+from coa_codesearch_mcp_spark.query.executor import Searcher
+
+
+# ------------------------------------------------------------- unit
+
+class FakeClock:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+
+def test_cache_sliding_ttl_and_lru():
+    clk = FakeClock()
+    c = QueryCache(ttl_seconds=100, max_entries=2, clock=clk)
+    c.put(("a",), [(1, 1.0)])
+    clk.t = 90
+    assert c.get(("a",)) == [(1, 1.0)]  # hit at t=90 slides expiry to 190
+    clk.t = 150
+    assert c.get(("a",)) == [(1, 1.0)]  # still alive thanks to the slide
+    clk.t = 260
+    assert c.get(("a",)) is None        # expired (150 + 100 < 260)
+
+    # LRU eviction at max_entries
+    clk.t = 0
+    c.put(("x",), [1])
+    c.put(("y",), [2])
+    assert c.get(("x",)) == [1]         # refresh x -> y is now LRU
+    c.put(("z",), [3])                  # evicts y
+    assert c.get(("y",)) is None
+    assert c.get(("x",)) == [1]
+    assert c.get(("z",)) == [3]
+
+
+def test_rows_to_local_df_roundtrip(spark):
+    rows = [(7, 1.25), (3, 0.5)]
+    df = rows_to_local_df(spark, rows)
+    assert df.schema.simpleString() == "struct<doc_id:bigint,score:double>"
+    assert [(r["doc_id"], r["score"]) for r in df.collect()] == rows
+    empty = rows_to_local_df(spark, [])
+    assert empty.collect() == []
+    assert empty.schema.simpleString() == "struct<doc_id:bigint,score:double>"
+
+
+# ------------------------------------------------------ integration
+
+@pytest.fixture(scope="module")
+def cached_engine(documents):
+    searchers = {
+        "content": Searcher(build_logical_index(documents, field="content").cache())
+    }
+    return TextSearchEngine(searchers, cache=QueryCache())
+
+
+def _rows(res):
+    return [(r["doc_id"], r["score"]) for r in res.hits.collect()]
+
+
+def test_second_identical_search_launches_zero_jobs(spark, cached_engine):
+    first = cached_engine.search("fast key", k=5)
+    assert not first.from_cache
+    want = _rows(first)
+    assert len(want) == 5
+
+    sc = spark.sparkContext
+    sc.setJobGroup("cache_probe", "second identical search")
+    try:
+        second = cached_engine.search("fast key", k=5)
+        got = _rows(second)  # collect of a VALUES local relation: no job
+    finally:
+        sc.setJobGroup(None, None)
+    assert second.from_cache
+    assert got == want
+    jobs = sc.statusTracker().getJobIdsForGroup("cache_probe")
+    assert list(jobs) == [], f"cache hit must launch zero Spark jobs, got {jobs}"
+
+
+def test_cache_key_distinguishes_k_and_mode(cached_engine):
+    a = cached_engine.search("fast key", k=5)
+    b = cached_engine.search("fast key", k=3)
+    assert not b.from_cache
+    assert len(_rows(b)) == 3
+    c = cached_engine.search("fast key", mode="exact", k=5)
+    assert not c.from_cache
+    d = cached_engine.search("fast key", mode="exact", k=5)
+    assert d.from_cache
+    assert _rows(c) == _rows(d)
+
+
+def test_expired_entry_reexecutes(documents):
+    clk = FakeClock()
+    eng = TextSearchEngine(
+        {"content": Searcher(build_logical_index(documents, field="content").cache())},
+        cache=QueryCache(ttl_seconds=10, clock=clk),
+    )
+    r1 = eng.search("fast", k=3)
+    clk.t = 11.0
+    r2 = eng.search("fast", k=3)
+    assert not r2.from_cache  # expired -> recomputed
+    assert _rows(r1) == _rows(r2)
+
+
+def test_use_cache_false_disables(documents):
+    eng = TextSearchEngine(
+        {"content": Searcher(build_logical_index(documents, field="content").cache())},
+        use_cache=False,
+    )
+    eng.search("fast", k=3)
+    assert not eng.search("fast", k=3).from_cache
