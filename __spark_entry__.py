@@ -153,6 +153,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q5_phrase(spark, sf):
         return _searcher(spark, sf).search_phrase(["fast", "key"], k=10)
 
+    def q5_phrase3(spark, sf):
+        # 3+ slots pin the position-fold normalization (the round-3
+        # sweep caught a transform-lambda arity bug 2-term phrases
+        # cannot see: only size(match) survives for 2 slots)
+        return _searcher(spark, sf).search_phrase(["slow", "hash", "batch"], k=10)
+
     def q6_wildcard(spark, sf):
         return _searcher(spark, sf).search_wildcard("sp*", k=10)
 
@@ -506,6 +512,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q5_phrase_wand(spark, sf):
         return _store_searcher(spark, sf).search_phrase(["fast", "key"], k=10)
 
+    def q5_phrase3_wand(spark, sf):
+        return _store_searcher(spark, sf).search_phrase(
+            ["slow", "hash", "batch"], k=10
+        )
+
     def q2_and_wand_multirange(spark, sf):
         # forces >=8 doc ranges at sf0.01: every range must require ALL
         # query terms, not just the terms present in that range
@@ -527,12 +538,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_and_bm25_wand": q2_and_wand,
         "q3_or_bm25_wand": q3_or_wand,
         "q5_phrase_bm25_wand": q5_phrase_wand,
+        "q5_phrase3_bm25_wand": q5_phrase3_wand,
         "q2_and_bm25_wand_multirange": q2_and_wand_multirange,
         "q4_not_bm25_wand_multirange": q4_not_wand_multirange,
         "q2_and_bm25": q2_and,
         "q3_or_bm25": q3_or,
         "q4_not_bm25": q4_not,
         "q5_phrase_bm25": q5_phrase,
+        "q5_phrase3_bm25": q5_phrase3,
         "q6_wildcard_bm25": q6_wildcard,
         "q7_fuzzy_bm25": q7_fuzzy,
         "q8_regex_bm25": q8_regex,
@@ -587,6 +600,35 @@ starts AS (
   FROM tokordered a JOIN tokordered b
     ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
   WHERE a.term = 'fast' AND b.term = 'key'
+  GROUP BY a.doc_id
+),
+pdf AS (SELECT greatest(count(*), 1) AS df FROM starts),
+scored AS (
+  SELECT st.doc_id,
+         ln(1 + (s.n - pdf.df + 0.5) / (pdf.df + 0.5))
+           * st.phrase_tf * ({K1} + 1)
+           / (st.phrase_tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl)) AS score
+  FROM starts st
+  JOIN dl d ON st.doc_id = d.doc_id
+  CROSS JOIN stats s CROSS JOIN pdf
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY round(score, 4) DESC, doc_id LIMIT 10
+""",
+        "q5_phrase3_bm25": f"""
+WITH {_SQL_TOK},
+tokordered AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS term,
+         generate_subscripts(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''), 1) - 1 AS pos
+  FROM documents
+),
+starts AS (
+  SELECT a.doc_id, count(*) AS phrase_tf
+  FROM tokordered a
+  JOIN tokordered b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN tokordered c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+  WHERE a.term = 'slow' AND b.term = 'hash' AND c.term = 'batch'
   GROUP BY a.doc_id
 ),
 pdf AS (SELECT greatest(count(*), 1) AS df FROM starts),
@@ -894,6 +936,7 @@ LIMIT 5
     sql["q2_and_bm25_wand"] = sql["q2_and_bm25"]
     sql["q3_or_bm25_wand"] = sql["q3_or_bm25"]
     sql["q5_phrase_bm25_wand"] = sql["q5_phrase_bm25"]
+    sql["q5_phrase3_bm25_wand"] = sql["q5_phrase3_bm25"]
     sql["q2_and_bm25_wand_multirange"] = sql["q2_and_bm25"]
     sql["q4_not_bm25_wand_multirange"] = sql["q4_not_bm25"]
     return sql

@@ -141,14 +141,23 @@ class Searcher:
             )
 
         if slop == 0:
-            # fold: S = pos0; S = intersect(S+1, pos_i) — all built-ins
+            # fold: S = pos0; S = intersect(S+1, pos_i) — all built-ins.
+            # The shift lambdas MUST be single-parameter: F.transform
+            # passes the ELEMENT INDEX to a second parameter, so the
+            # idiomatic late-binding fix `lambda x, i=i: x - i` silently
+            # subtracted the array index instead of the slot offset —
+            # 2-term phrases survived (only size(match) is used) but
+            # every 3+-term slop=0 phrase returned empty (caught by the
+            # round-3 store==logical property sweep). F.transform calls
+            # the lambda eagerly inside this iteration, so plain `i` is
+            # already bound correctly.
             match = F.col("pos0")
             for i in range(1, len(terms)):
                 match = F.array_intersect(
                     F.transform(match, lambda x: x + i), F.col(f"pos{i}")
                 )
                 # positions of slot i matched; normalize back to starts
-                match = F.transform(match, lambda x, i=i: x - i)
+                match = F.transform(match, lambda x: x - i)
             cand = per_slot.withColumn("phrase_tf", F.size(match)).filter(
                 F.col("phrase_tf") > 0
             )
