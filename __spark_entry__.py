@@ -21,6 +21,13 @@ from pyspark.sql import functions as F
 # BM25 constants mirrored in the SQL strings below (query/bm25.py)
 K1, B = 1.2, 0.75
 
+# incremental_upsert_search scenario texts — shared verbatim by the
+# Spark query and its DuckDB oracle (vocabulary chosen to be absent
+# from the generated corpus so the replaced text cannot collide with
+# the probe term)
+INC_NEW_TEXT_7 = "pear plum quince entirely new page"
+INC_NEW_DOC_TEXT = "pear orchard notes and a quince recipe"
+
 _INDEX_CACHE: dict[tuple[str, str], object] = {}
 
 
@@ -530,7 +537,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["spark"], k=10, exclude=["stream"]
         )
 
+    def incremental_upsert_search(spark, sf):
+        """S6/W6 through the driver contract (round-2 VERDICT #7):
+        build a main index over docs 0-59, then in one micro-batch
+        UPSERT doc 7 to text WITHOUT its old probe term, DELETE doc 13,
+        and ADD a brand-new doc; BM25-search the probe term (= first
+        token of doc 7's ORIGINAL text, i.e. drawn from the replaced
+        doc's old text — the exact shape that exposed the round-2 df
+        bug). The oracle recomputes BM25 in SQL over the equivalent
+        LIVE corpus; results are url-keyed because streamed doc ids
+        are xxhash64(url), which DuckDB cannot compute. k=all matches
+        so tie cutoffs cannot differ between orderings."""
+        import tempfile
+
+        from coa_codesearch_mcp_spark.index.store import IndexConfig
+        from coa_codesearch_mcp_spark.streaming.incremental import (
+            DeltaIndexManager,
+            _url_doc_id,
+        )
+
+        docs = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 60)
+            .select(
+                F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+                "text",
+            )
+        )
+        probe = docs.filter(F.col("url") == "doc://7").select(
+            F.split(F.lower("text"), r"\s+")[0].alias("t")
+        ).first()["t"]
+
+        key = ("inc", sf)
+        if key not in _INDEX_CACHE:
+            import datetime
+
+            root = tempfile.mkdtemp(prefix="spark_graft_inc_")
+            cfg = IndexConfig(
+                field="content_patterns",
+                n_buckets=4,
+                range_size=1 << 58,
+                chunk_size=1 << 58,
+                chunks_per_wave=32,
+                salt_threshold=10_000,
+            )
+            mgr = DeltaIndexManager(spark, root, cfg)
+            mgr.init_main(docs.withColumn("doc_id", _url_doc_id()))
+            ts = datetime.datetime(2024, 4, 1)
+            changes = spark.createDataFrame(
+                [
+                    ("doc://7", "upsert", INC_NEW_TEXT_7, ts, ts),
+                    ("doc://13", "delete", None, None, ts),
+                    ("doc://new1", "upsert", INC_NEW_DOC_TEXT, ts, ts),
+                ],
+                "url string, op string, text string, warc_ts timestamp, event_ts timestamp",
+            )
+            mgr.apply_batch(changes)
+            _INDEX_CACHE[key] = mgr
+        mgr = _INDEX_CACHE[key]
+
+        hits = mgr.search_or([probe], k=100)
+        live_urls = (
+            docs.filter(~F.col("url").isin("doc://7", "doc://13"))
+            .select("url")
+            .unionByName(
+                spark.createDataFrame([("doc://7",), ("doc://new1",)], "url string")
+            )
+        )
+        mapping = live_urls.withColumn("doc_id", _url_doc_id())
+        return (
+            hits.join(mapping, "doc_id")
+            .select("url", "score")
+            .orderBy(F.desc("score"), F.asc("url"))
+        )
+
     return {
+        "incremental_upsert_search": incremental_upsert_search,
         "q1_term_bm25": q1_term,
         "q13_routed_wildcard": q13_routed_wildcard,
         "q12_exact_mode": q12_exact_mode,
@@ -937,6 +1019,44 @@ LIMIT 5
     sql["q3_or_bm25_wand"] = sql["q3_or_bm25"]
     sql["q5_phrase_bm25_wand"] = sql["q5_phrase_bm25"]
     sql["q5_phrase3_bm25_wand"] = sql["q5_phrase3_bm25"]
+
+    # incremental upsert/delete twin: BM25 over the LIVE corpus after
+    # the same change batch the Spark side applies (upsert doc 7,
+    # delete doc 13, add doc://new1); probe = first token of doc 7's
+    # ORIGINAL text. url-keyed: streamed doc ids are xxhash64(url).
+    sql["incremental_upsert_search"] = f"""
+WITH live AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text
+  FROM documents WHERE doc_id < 60 AND doc_id NOT IN (7, 13)
+  UNION ALL SELECT 'doc://7', '{INC_NEW_TEXT_7}'
+  UNION ALL SELECT 'doc://new1', '{INC_NEW_DOC_TEXT}'
+),
+toks AS (
+  SELECT url,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS term
+  FROM live
+),
+post AS (SELECT url, term, count(*) AS tf FROM toks GROUP BY url, term),
+dl AS (SELECT url, count(*) AS dl FROM toks GROUP BY url),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+probe AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')[1] AS t
+  FROM documents WHERE doc_id = 7
+),
+scored AS (
+  SELECT p.url,
+         ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5)) * p.tf * ({K1} + 1)
+           / (p.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl)) AS score
+  FROM post p
+  JOIN dfreq f ON p.term = f.term
+  JOIN dl d ON p.url = d.url
+  CROSS JOIN stats s
+  WHERE p.term = (SELECT t FROM probe)
+)
+SELECT url, round(score, 4) AS score
+FROM scored ORDER BY round(score, 4) DESC, url
+"""
     sql["q2_and_bm25_wand_multirange"] = sql["q2_and_bm25"]
     sql["q4_not_bm25_wand_multirange"] = sql["q4_not_bm25"]
     return sql
