@@ -237,24 +237,30 @@ class IndexWriter:
         rows.write.partitionBy("chunk_id").mode("append").parquet(tokens_path)
 
         # doclens from the tokens JUST WRITTEN: column-pruned read-back
-        # (doc_id, dl only — the nested tokens column is never touched)
+        # (doc_id, dl only — the nested tokens column is never touched).
+        # Wave metrics (A5: docs/sec + token totals per batch,
+        # FileIndexingService.cs metrics) ride the doclens write as an
+        # Observation — map-side accumulators on the same job, so the
+        # wave is TWO jobs (tokens write, doclens write), not three
+        # (round-2 VERDICT #3: per-wave fixed job overhead was the
+        # build_store_index regression; at web scale this is one less
+        # full pass over the wave's doclens).
+        from pyspark.sql import Observation
+
         written = self.spark.read.parquet(tokens_path).filter(
             F.col("chunk_id").isin(chunk_ids)
         )
-        doclens = written.select("doc_id", "dl", "chunk_id")
+        obs = Observation()
+        doclens = written.select("doc_id", "dl", "chunk_id").observe(
+            obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("toks")
+        )
         (
             doclens.repartition(len(chunk_ids), "chunk_id")
             .write.partitionBy("chunk_id")
             .mode("append")
             .parquet(os.path.join(self.root, "doclens"))
         )
-        # one light job over the column-pruned read-back: doc count
-        # (parquet footers) + token count (A5 indexing metrics — the
-        # reference logs docs/sec and token totals per batch,
-        # FileIndexingService.cs metrics)
-        agg = written.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("toks")
-        ).first()
+        agg = obs.get
         return {"n_docs": int(agg["n"]), "n_tokens": int(agg["toks"] or 0)}
 
     def tokenize_stage(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
@@ -323,9 +329,14 @@ class IndexWriter:
         # lookup at web scale (the term dictionary of a 10^12-doc
         # corpus is itself a big table). lookup_terms() prunes to the
         # query terms' buckets because bucket = f(term) is computable
-        # without reading anything.
+        # without reading anything. n_terms rides the write as an
+        # Observation — no separate count() pass over the dictionary.
+        from pyspark.sql import Observation
+
+        obs = Observation()
         (
-            dictionary.repartition(cfg.n_buckets, "bucket")
+            dictionary.observe(obs, F.count(F.lit(1)).alias("n_terms"))
+            .repartition(cfg.n_buckets, "bucket")
             .sortWithinPartitions("term")
             .write.partitionBy("bucket")
             .mode("overwrite")
@@ -336,7 +347,7 @@ class IndexWriter:
             F.avg("dl").alias("avgdl"),
             F.sum("dl").alias("total_tokens"),
         ).collect()[0]
-        n_terms = dictionary.count()
+        n_terms = obs.get["n_terms"]
         self.manifest.set_stats(
             "corpus",
             {
@@ -470,23 +481,46 @@ class IndexWriter:
             .applyInPandas(encode_group, POSTING_SCHEMA)
         )
         # idempotent on resume: a crashed postings wave's bucket dirs
-        # are dropped before re-append (see _clear_stale_partitions)
+        # are dropped before re-append (see _clear_stale_partitions).
+        # Block count rides the write as an Observation so the final
+        # postings_blocks stat needs no separate count() pass.
+        from pyspark.sql import Observation
+
+        obs = Observation()
         self._clear_stale_partitions("postings", "bucket", todo)
         (
-            encoded.repartition(len(todo), "bucket")
+            encoded.observe(obs, F.count(F.lit(1)).alias("blocks"))
+            .repartition(len(todo), "bucket")
             .sortWithinPartitions("term", "salt", "range_id", "block_no")
             .write.partitionBy("bucket")
             .mode("append")
             .parquet(os.path.join(self.root, "postings"))
         )
         dt = time.perf_counter() - t0
+        wave_blocks = int(obs.get["blocks"])
         for b in todo:
             self.manifest.record_unit(
                 "postings",
                 str(b),
-                {"inputs": {"buckets": todo}, "wave_secs": round(dt, 3)},
+                {
+                    "inputs": {"buckets": todo},
+                    "wave_id": f"pwave_{min(todo)}",
+                    "wave_blocks": wave_blocks,
+                    "wave_secs": round(dt, 3),
+                },
             )
         self.manifest.commit()
+
+    def _postings_blocks_total(self) -> int:
+        """Total encoded blocks, summed from per-wave manifest lineage
+        (each wave's count was observed on its own write job) — no
+        count() scan over the postings table."""
+        units = self.manifest.stage("postings")["units"]
+        per_wave: dict[str, int] = {}
+        for u in units.values():
+            if "wave_blocks" in u:
+                per_wave[u.get("wave_id", "w")] = u["wave_blocks"]
+        return sum(per_wave.values())
 
     # ------------------------------------------------------- pipeline
 
@@ -529,12 +563,9 @@ class IndexWriter:
             self.manifest.commit()
         self.dictionary_stage()
         self.postings_stage()
-        counts = {
-            "postings_blocks": self.spark.read.parquet(
-                os.path.join(self.root, "postings")
-            ).count(),
-        }
-        self.manifest.set_stats("postings", counts)
+        self.manifest.set_stats(
+            "postings", {"postings_blocks": self._postings_blocks_total()}
+        )
         self.manifest.commit()
         return self.manifest
 
@@ -542,12 +573,9 @@ class IndexWriter:
         self.tokenize_stage(docs, id_col, text_col)
         self.dictionary_stage()
         self.postings_stage()
-        counts = {
-            "postings_blocks": self.spark.read.parquet(
-                os.path.join(self.root, "postings")
-            ).count(),
-        }
-        self.manifest.set_stats("postings", counts)
+        self.manifest.set_stats(
+            "postings", {"postings_blocks": self._postings_blocks_total()}
+        )
         self.manifest.commit()
         return self.manifest
 
