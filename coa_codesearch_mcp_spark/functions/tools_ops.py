@@ -223,6 +223,42 @@ def workspace_hash(url_col: str = "url"):
 
 # -------------------------------------------------------------- A3/A6
 
+def indexing_progress(spark) -> dict:
+    """A5 LIVE metrics (reference: Services/IndexingMetricsService.cs —
+    live per-batch progress and docs/sec while an index build runs).
+
+    Spark-native form: a snapshot of the driver statusTracker's active
+    jobs with per-stage task progress. Poll from a monitoring thread
+    while IndexWriter.build runs; combine with index_stats(reader) for
+    completed-wave docs/sec (manifest lineage). statusTracker is the
+    supported driver-side API — registering a JVM SparkListener from
+    PySpark would need a py4j callback server, which headless jobs
+    (spark-submit --py-files) cannot rely on."""
+    st = spark.sparkContext.statusTracker()
+    jobs = []
+    for jid in st.getActiveJobsIds():
+        ji = st.getJobInfo(jid)
+        if ji is None:
+            continue
+        stages = []
+        for sid in ji.stageIds:
+            si = st.getStageInfo(sid)
+            if si is None:
+                continue
+            stages.append(
+                {
+                    "stage_id": sid,
+                    "name": si.name,
+                    "tasks": si.numTasks,
+                    "active": si.numActiveTasks,
+                    "completed": si.numCompletedTasks,
+                    "failed": si.numFailedTasks,
+                }
+            )
+        jobs.append({"job_id": jid, "status": ji.status, "stages": stages})
+    return {"active_jobs": jobs}
+
+
 def index_stats(reader) -> dict:
     """A3 index stats + A6 per-batch stats from manifest lineage
     (reference analog: IndexWorkspaceTool's summary + the per-batch

@@ -91,3 +91,31 @@ def test_store_query_prunes_buckets_and_terms(spark, documents, tmp_path, no_aqe
     plan = blocks._jdf.queryExecution().sparkPlan().toString()
     assert "PartitionFilters" in plan and "bucket" in plan, plan
     assert "PushedFilters" in plan and "term" in plan, plan
+
+
+def test_store_phrase_plan_no_global_window(spark, documents, tmp_path, no_aqe):
+    """Round-2 VERDICT #2: phrase df must not funnel all candidates
+    through a single-partition global window. The plan must contain no
+    Window operator; the candidate exchange feeding the df aggregate
+    and the scoring side should be deduped (ReusedExchange) so the
+    shuffle is written once."""
+    from coa_codesearch_mcp_spark.index.store import (
+        IndexConfig,
+        IndexReader,
+        IndexWriter,
+    )
+    from coa_codesearch_mcp_spark.query.store_executor import StoreSearcher
+
+    root = str(tmp_path / "ix_phrase_plan")
+    cfg = IndexConfig(
+        field="content_patterns", n_buckets=4, range_size=256, chunk_size=512,
+        salt_threshold=10_000,
+    )
+    IndexWriter(spark, root, cfg).build(documents.limit(200))
+    ss = StoreSearcher(IndexReader(spark, root))
+    df = ss.search_phrase(["fast", "key"], k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "ReusedExchange" in plan, plan
+    assert len(df.collect()) >= 0

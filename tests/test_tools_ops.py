@@ -193,3 +193,40 @@ def test_index_stats_summary(spark, documents, tmp_path):
     assert st["n_chunks"] >= 1 and len(st["waves"]) >= 1
     assert sum(w["docs"] for w in st["waves"]) == 100
     assert all(w["docs_per_sec"] is None or w["docs_per_sec"] > 0 for w in st["waves"])
+
+
+def test_indexing_progress_snapshot(spark):
+    """A5 live metrics: idle snapshot is empty; during a running job
+    the snapshot shows a job with per-stage task progress."""
+    import threading
+    import time
+
+    from coa_codesearch_mcp_spark.functions.tools_ops import indexing_progress
+
+    assert indexing_progress(spark) == {"active_jobs": []}
+
+    def slow_part(it):
+        time.sleep(3)
+        yield from it
+
+    done = {}
+
+    def run():
+        done["n"] = (
+            spark.range(8).repartition(4).rdd.mapPartitions(slow_part).count()
+        )
+
+    t = threading.Thread(target=run)
+    t.start()
+    seen = None
+    for _ in range(60):
+        snap = indexing_progress(spark)
+        if snap["active_jobs"]:
+            seen = snap
+            break
+        time.sleep(0.1)
+    t.join()
+    assert done["n"] == 8
+    assert seen is not None, "never observed the running job"
+    job = seen["active_jobs"][0]
+    assert job["stages"] and all("tasks" in s for s in job["stages"])
