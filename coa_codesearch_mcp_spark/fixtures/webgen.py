@@ -55,11 +55,39 @@ _HOT = ["hothot", "stopword"]  # ~1% docs stuffed with these
 VOCAB = _PROSE + _CODE
 
 
-def _make_text(rng: np.random.RandomState, hot: bool) -> str:
+def extended_vocab(vocab_size: int) -> list[str]:
+    """VOCAB padded with generated terms to ``vocab_size`` entries.
+
+    The default 51-word vocabulary wraps the Zipf tail back onto the
+    head (``% len(VOCAB)``), which flattens per-block score variance —
+    fine for correctness oracles, useless for demonstrating block-max
+    pruning. A web-realistic vocabulary (tens of thousands of terms,
+    heavy-tailed df) restores the skew BMW exists for; used only by
+    evidence tools, never by the oracle fixtures."""
+    extra = vocab_size - len(VOCAB)
+    if extra <= 0:
+        return VOCAB
+
+    def b26(i: int) -> str:
+        # letters-only so the code tokenizer keeps each term as ONE
+        # token (digits would split on the letter->digit boundary)
+        s = ""
+        for _ in range(4):
+            s += chr(ord("a") + i % 26)
+            i //= 26
+        return s
+
+    return VOCAB + [f"v{b26(i)}x" for i in range(extra)]
+
+
+def _make_text(
+    rng: np.random.RandomState, hot: bool, vocab: list[str] | None = None
+) -> str:
+    vocab = vocab if vocab is not None else VOCAB
     n = int(np.clip(rng.lognormal(4.0, 0.8), 20, 2000))
     # Zipfian-ish sampling over the vocabulary
     ranks = rng.zipf(1.3, size=n)
-    words = [VOCAB[(r - 1) % len(VOCAB)] for r in ranks]
+    words = [vocab[(r - 1) % len(vocab)] for r in ranks]
     if hot:
         stuff = rng.randint(20, 60)
         words += [_HOT[i % len(_HOT)] for i in range(stuff)]
@@ -76,11 +104,11 @@ def _wrap_html(text: str, url: str) -> bytes:
     ).encode("utf-8")
 
 
-def _make_row(i: int, seed: int) -> dict:
+def _make_row(i: int, seed: int, vocab: list[str] | None = None) -> dict:
     rng = np.random.RandomState(seed + i)  # per-row determinism
     lang = LANGS[i % len(LANGS)]
     hot = rng.rand() < 0.01
-    text = _make_text(rng, hot)
+    text = _make_text(rng, hot, vocab)
     url = f"https://example.org/{lang}/{i:08d}.html"
     ts = pd.Timestamp("2024-01-01", tz="UTC") + pd.Timedelta(
         seconds=int(rng.randint(0, 90 * 86400))
@@ -100,17 +128,27 @@ def generate_webpages_pdf(n_docs: int, seed: int = 42, start: int = 0) -> pd.Dat
 
 
 def generate_webpages(
-    spark: SparkSession, n_docs: int, seed: int = 42, partitions: int | None = None
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    partitions: int | None = None,
+    vocab_size: int | None = None,
 ) -> DataFrame:
-    """Distributed generation: plan rows on executors via mapInPandas."""
+    """Distributed generation: plan rows on executors via mapInPandas.
+
+    ``vocab_size`` (optional) pads the vocabulary with generated terms
+    for web-realistic df skew — see :func:`extended_vocab`. Default
+    output is byte-identical to previous rounds (oracles depend on it).
+    """
     partitions = partitions or spark.sparkContext.defaultParallelism
     bounds = spark.range(0, n_docs, 1, partitions)
+    vocab = extended_vocab(vocab_size) if vocab_size else None
 
     def gen(batches):
         for pdf in batches:
             ids = pdf["id"].tolist()
             if not ids:
                 continue
-            yield pd.DataFrame([_make_row(int(i), seed) for i in ids])
+            yield pd.DataFrame([_make_row(int(i), seed, vocab) for i in ids])
 
     return bounds.mapInPandas(gen, WEB_SCHEMA)

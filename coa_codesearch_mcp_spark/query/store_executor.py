@@ -59,6 +59,7 @@ class StoreSearcher:
         exclude_set = set(exclude)
         avgdl = self.reader.avgdl
         kk = k
+        theta0 = self._bootstrap_theta(blocks, info, present, k, mode, exclude)
         # For AND, every query term must appear in the doc range, not
         # merely in the corpus: a range holding only `alpha` blocks must
         # answer AND(alpha, beta) with nothing, so the required count is
@@ -81,7 +82,12 @@ class StoreSearcher:
             # approach: fetch k + len(banned) then filter
             slack_k = kk + len(banned)
             hits = wand_topk(
-                term_blocks, avgdl, slack_k, mode=mode, n_required=n_required
+                term_blocks,
+                avgdl,
+                slack_k,
+                mode=mode,
+                threshold0=theta0,
+                n_required=n_required,
             )
             hits = [(d, s) for d, s in hits if d not in banned][:kk]
             return pd.DataFrame(hits, columns=["doc_id", "score"])
@@ -96,6 +102,68 @@ class StoreSearcher:
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
+
+    # df skew above which the bootstrap pre-pass pays for itself: the
+    # rarest list must be at least this many times shorter than the
+    # most common one before an extra (tiny) job is worth launching
+    BOOTSTRAP_DF_RATIO = 8
+
+    def _bootstrap_theta(
+        self,
+        blocks: DataFrame,
+        info: dict,
+        present: list[str],
+        k: int,
+        mode: str,
+        exclude: list[str],
+    ) -> float:
+        """Global threshold bootstrap for the distributed WAND scatter.
+
+        Scatter-gather top-k starts every doc range at threshold 0, so
+        a range where a selective term has fewer than k postings can
+        never prune a co-occurring stopword's list — its local top-k
+        legitimately includes stopword-only docs. Globally those docs
+        are merged away, so seed every range with a bound the merge is
+        already guaranteed to reach: the k-th best single-term BM25
+        score of the RAREST query term. Every doc containing that term
+        has an OR score >= its rare-term contribution, so at least k
+        docs globally score >= this seed — pruning below it can never
+        evict a global top-k doc (local lists may shrink; the global
+        merge is unchanged, which is the result contract).
+
+        Valid for OR only (an AND result set is a subset of the rare
+        term's docs but may be smaller than k) and only without NOT
+        exclusions (banned docs could hollow out the guarantee). The
+        pre-pass costs one extra job over the rarest term's postings —
+        strictly smaller than the main scatter — so it is gated on the
+        df skew that makes it profitable (stopword x selective, the
+        shape block-max WAND exists for; Ding & Suel 2011 §6 report
+        exactly this query class as the pruning win)."""
+        if mode != "or" or exclude or len(present) < 2:
+            return 0.0
+        dfs = {t: info[t]["df"] for t in present}
+        rare = min(present, key=lambda t: dfs[t])
+        if dfs[rare] < 4 * k or max(dfs.values()) < self.BOOTSTRAP_DF_RATIO * dfs[rare]:
+            return 0.0
+        idf, avgdl = info[rare]["idf"], self.reader.avgdl
+
+        def per_range(pdf: pd.DataFrame) -> pd.DataFrame:
+            rows = pdf.sort_values("block_no").to_dict("records")
+            hits = wand_topk({rare: (idf, rows)}, avgdl, k)
+            return pd.DataFrame(hits, columns=["doc_id", "score"])
+
+        scores = (
+            blocks.filter(F.col("term") == rare)
+            .repartition("range_id")
+            .groupBy("range_id")
+            .applyInPandas(lambda key, pdf: per_range(pdf), _RESULT_SCHEMA)
+            .orderBy(F.desc("score"))
+            .limit(k)
+            .collect()
+        )
+        if len(scores) < k:
+            return 0.0
+        return float(scores[-1]["score"])
 
     def search_term(self, term: str, k: int = 10) -> DataFrame:
         return self._wand_search([term], k, "or")

@@ -264,10 +264,13 @@ def wand_topk(
             if len(heap) < k:
                 heapq.heappush(heap, entry)
                 if len(heap) == k and mode == "or":
-                    theta = heap[0][0]
+                    # max(): with a bootstrapped threshold0 the heap
+                    # may legitimately hold docs below threshold0 —
+                    # theta must never regress below the seed
+                    theta = max(theta, heap[0][0])
             elif entry > heap[0]:
                 heapq.heapreplace(heap, entry)
-                theta = heap[0][0]
+                theta = max(theta, heap[0][0])
             for c in matched:
                 c.advance(avgdl)
         else:
