@@ -265,13 +265,33 @@ class IndexWriter:
 
     def tokenize_stage(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
         cfg = self.cfg
-        # enumerate only chunks that actually exist (doc ids may be
-        # sparse 62-bit hashes — a dense range scan over the id span
-        # would enumerate billions of empty chunks)
-        present = sorted(
-            r["c"]
-            for r in docs.select(self._chunk_col(id_col).alias("c")).distinct().collect()
-        )
+        # enumerate only chunks that actually exist (mono-ids cluster
+        # per input partition, so the id SPAN is huge but the chunk
+        # COUNT stays ~input partitions — a dense range scan over the
+        # span would enumerate billions of empty chunks)
+        chunk_counts = {
+            r["c"]: r["cnt"]
+            for r in docs.groupBy(self._chunk_col(id_col).alias("c"))
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        present = sorted(chunk_counts)
+        # fail fast on pathologically sparse ids (e.g. doc_id =
+        # xxhash64(url)): every doc lands in its own chunk, the wave
+        # plan explodes into thousands of driver-sequential jobs, and
+        # posting blocks fragment to ~1 doc per WAND range. Dense-ish
+        # ids are an input contract, not a preference.
+        if len(present) > 32:
+            avg = sum(chunk_counts.values()) / len(present)
+            if avg < max(1.0, self.cfg.chunk_size / 64):
+                raise ValueError(
+                    f"doc ids are pathologically sparse: {len(present)} "
+                    f"chunks averaging {avg:.1f} docs for chunk_size="
+                    f"{self.cfg.chunk_size}. Assign dense deterministic "
+                    "ids first (coa_codesearch_mcp_spark.index.ids."
+                    "assign_dense_doc_ids) instead of hashing urls into "
+                    "a 62-bit space."
+                )
         done = {int(u) for u in self.manifest.completed_units("tokens")}
         todo = [c for c in present if c not in done]
         for i in range(0, len(todo), cfg.chunks_per_wave):

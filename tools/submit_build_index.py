@@ -30,6 +30,13 @@ def main() -> None:
     ap.add_argument("--chunk-size", type=int, default=1 << 18)
     ap.add_argument("--salt-threshold", type=int, default=1 << 20)
     ap.add_argument("--no-positions", action="store_true")
+    ap.add_argument(
+        "--id-partitions",
+        type=int,
+        default=256,
+        help="bucket count for dense doc-id assignment; part of the "
+        "url->doc_id mapping, so keep it constant across resumed runs",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -42,7 +49,12 @@ def main() -> None:
 
     docs = spark.read.parquet(args.input)
     if "doc_id" not in docs.columns:
-        docs = docs.withColumn("doc_id", F.xxhash64("url").bitwiseAND(F.lit((1 << 62) - 1)))
+        # dense DETERMINISTIC ids — hashing urls into a 62-bit space
+        # would explode the chunk plan and fragment WAND ranges (the
+        # build refuses such ids); see index/ids.py
+        from coa_codesearch_mcp_spark.index.ids import assign_dense_doc_ids
+
+        docs = assign_dense_doc_ids(docs, "url", args.id_partitions)
     if "text" not in docs.columns and "html" in docs.columns:
         from pyspark.sql.pandas.functions import pandas_udf
         import pandas as pd
