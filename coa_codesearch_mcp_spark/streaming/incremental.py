@@ -91,8 +91,14 @@ class DeltaIndexManager:
     def _delta_ids(self) -> list[int]:
         return sorted(int(u) for u in self.manifest.completed_units("deltas"))
 
+    def _delta_dir(self) -> str:
+        # epoch-scoped (like main/tombstones) so a compaction flip
+        # retires the whole delta tier without renaming paths a pinned
+        # reader may still be scanning
+        return self._active().get("delta_dir", "deltas")
+
     def _delta_root(self, delta_id: int) -> str:
-        return os.path.join(self.root, "deltas", f"{delta_id:06d}")
+        return os.path.join(self.root, self._delta_dir(), f"{delta_id:06d}")
 
     def _tombstone_path(self) -> str:
         return os.path.join(self.root, self._active()["tombstone_dir"])
@@ -416,21 +422,55 @@ class DeltaIndexManager:
         new_main = os.path.join(self.root, new_main_rel)
         shutil.rmtree(new_main, ignore_errors=True)
         build_fn(new_main)
-        old_main = self._main_root()
-        old_tomb = self._tombstone_path()
+        old_epoch_dirs = [
+            act["main_path"],
+            act["tombstone_dir"],
+            self._delta_dir(),
+        ]
+        retired = self.manifest.get_stats("retired_epochs", [])
+        retired.append({"epoch": int(act.get("epoch", 0)), "dirs": old_epoch_dirs})
         self.manifest.set_stats(
             "active",
             {
                 "main_path": new_main_rel,
                 "tombstone_dir": f"tombstones_{epoch:06d}",
+                "delta_dir": f"deltas_{epoch:06d}",
                 "epoch": epoch,
             },
         )
+        self.manifest.set_stats("retired_epochs", retired)
         self.manifest.data["stages"].pop("deltas", None)
         self.manifest.commit()
-        shutil.rmtree(old_main, ignore_errors=True)
-        shutil.rmtree(old_tomb, ignore_errors=True)
-        shutil.rmtree(os.path.join(self.root, "deltas"), ignore_errors=True)
+        # Iceberg-style snapshot retention: the flip NEVER deletes the
+        # epoch a just-pinned reader may still be scanning — retired
+        # dirs live in the manifest and a separate expiry pass reclaims
+        # them (expire_snapshots semantics). Default: keep exactly the
+        # previous epoch.
+        self.expire_epochs(keep_last=1)
+
+    def expire_epochs(self, keep_last: int = 1) -> list[str]:
+        """Delete retired epoch directories, keeping the most recent
+        ``keep_last`` retired epochs for in-flight pinned readers
+        (public analog: Iceberg's expire_snapshots — data files are
+        only reclaimed by an explicit maintenance op, never by the
+        commit that superseded them). Returns the deleted dirs."""
+        import shutil
+
+        retired = self.manifest.get_stats("retired_epochs", [])
+        retired.sort(key=lambda e: e["epoch"])
+        drop = retired[: max(0, len(retired) - keep_last)]
+        keep = retired[len(drop):]
+        deleted = []
+        for entry in drop:
+            for rel in entry["dirs"]:
+                path = os.path.join(self.root, rel)
+                if os.path.exists(path):
+                    shutil.rmtree(path, ignore_errors=True)
+                    deleted.append(rel)
+        if drop:
+            self.manifest.set_stats("retired_epochs", keep)
+            self.manifest.commit()
+        return deleted
 
     def merge_deltas(self) -> None:
         """S9 tiered merge: fold all delta segments + tombstones into a

@@ -406,3 +406,61 @@ def test_retry_queue_parks_and_redelivers(spark, mgr, tmp_path):
     assert len(hits(mgr, ["retrymarker"])) == 1
     assert glob.glob(f"{mgr.root}/retry/batch_*") == []
     mgr.apply_batch = real
+
+
+def test_snapshot_isolation_across_compaction(spark, mgr, tmp_path):
+    """Iceberg-style retention: a reader pinned to the pre-compaction
+    manifest keeps answering from the retired epoch's files; the flip
+    never deletes what a just-pinned reader may be scanning — only
+    expire_epochs reclaims, and it keeps the most recent retired epoch."""
+    mgr.apply_batch(
+        _changes(
+            spark,
+            [("https://snap.org/a.html", "upsert", "snapword alpha", TS, TS)],
+        )
+    )
+
+    # pin a reader at the current (pre-flip) snapshot: its own
+    # DeltaIndexManager instance holds the manifest loaded NOW
+    pinned = DeltaIndexManager(spark, mgr.root, CFG)
+    before = hits(pinned, ["snapword"])
+    assert len(before) == 1
+
+    mgr.merge_deltas()  # epoch 0 -> 1; epoch-0 dirs retired, not deleted
+
+    # pinned reader still answers identically from retired epoch-0 dirs
+    assert hits(pinned, ["snapword"]) == before
+    # fresh reader sees the merged state with the same live results
+    fresh = DeltaIndexManager(spark, mgr.root, CFG)
+    assert hits(fresh, ["snapword"]) == before
+    assert fresh._active()["epoch"] == 1
+    retired = fresh.manifest.get_stats("retired_epochs", [])
+    assert [e["epoch"] for e in retired] == [0]
+
+    # second flip: epoch 1 retired, epoch 0 expired (keep_last=1)
+    mgr2 = DeltaIndexManager(spark, mgr.root, CFG)
+    mgr2.apply_batch(
+        _changes(
+            spark,
+            [("https://snap.org/b.html", "upsert", "snapword beta", TS, TS)],
+        )
+    )
+    pinned1 = DeltaIndexManager(spark, mgr.root, CFG)  # pinned at epoch 1
+    at_epoch1 = hits(pinned1, ["snapword"])
+    assert len(at_epoch1) == 2
+    mgr2.merge_deltas()  # epoch 1 -> 2
+
+    final = DeltaIndexManager(spark, mgr.root, CFG)
+    retired = final.manifest.get_stats("retired_epochs", [])
+    assert [e["epoch"] for e in retired] == [1], "epoch 0 must be expired"
+    import os
+
+    assert not os.path.exists(os.path.join(mgr.root, "main"))  # epoch 0 gone
+    assert hits(pinned1, ["snapword"]) == at_epoch1  # epoch-1 reader fine
+    assert hits(final, ["snapword"]) == at_epoch1
+
+    # explicit full expiry reclaims everything retired
+    deleted = final.expire_epochs(keep_last=0)
+    assert deleted, "expire_epochs(0) must reclaim the last retired epoch"
+    assert final.manifest.get_stats("retired_epochs", []) == []
+    assert hits(final, ["snapword"]) == at_epoch1  # active epoch untouched
