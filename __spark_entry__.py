@@ -118,8 +118,10 @@ dfreq AS (SELECT term, count(*) AS df FROM post GROUP BY term)
 """
 
 
-def _sql_bm25(term_filter: str, having: str = "", exclude: str = "") -> str:
-    """Top-10 BM25 with the pinned formula; see query/bm25.py."""
+def _sql_bm25(
+    term_filter: str, having: str = "", exclude: str = "", limit: int = 10
+) -> str:
+    """Top-k BM25 with the pinned formula; see query/bm25.py."""
     return f"""
 WITH {_SQL_TOK},
 scored AS (
@@ -140,7 +142,7 @@ SELECT doc_id, round(score, 4) AS score
 FROM scored
 {exclude}
 ORDER BY round(score, 4) DESC, doc_id
-LIMIT 10
+LIMIT {limit}
 """
 
 
@@ -537,6 +539,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["spark"], k=10, exclude=["stream"]
         )
 
+    def q3_or_bootstrap(spark, sf):
+        """OR with the round-3 global threshold bootstrap FIRING: df
+        skew batch(402) x dup(25) is 16x >= 8x and df(dup)=25 >= 4k
+        with k=6, over >=8 doc ranges where dup has ~3 postings per
+        range (fewer than k — the exact shape where unseeded per-range
+        WAND cannot prune). The oracle is plain exhaustive SQL, so a
+        hash match proves the seeded scatter changes nothing."""
+        return _store_searcher(spark, sf, range_size=64).search_or(
+            ["batch", "dup"], k=6
+        )
+
     def incremental_upsert_search(spark, sf):
         """S6/W6 through the driver contract (round-2 VERDICT #7):
         build a main index over docs 0-59, then in one micro-batch
@@ -623,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_phrase3_bm25_wand": q5_phrase3_wand,
         "q2_and_bm25_wand_multirange": q2_and_wand_multirange,
         "q4_not_bm25_wand_multirange": q4_not_wand_multirange,
+        "q3_or_bootstrap_bm25": q3_or_bootstrap,
         "q2_and_bm25": q2_and,
         "q3_or_bm25": q3_or,
         "q4_not_bm25": q4_not,
@@ -1059,4 +1073,7 @@ FROM scored ORDER BY round(score, 4) DESC, url
 """
     sql["q2_and_bm25_wand_multirange"] = sql["q2_and_bm25"]
     sql["q4_not_bm25_wand_multirange"] = sql["q4_not_bm25"]
+    sql["q3_or_bootstrap_bm25"] = _sql_bm25(
+        "p.term IN ('batch', 'dup')", limit=6
+    )
     return sql
