@@ -107,6 +107,15 @@ def gen_queries(n=50, seed=11):
                 {},
             )
         out.append(spec)
+    # pinned round-3 shapes: OR with >=8x df skew and rare-df >= 4k —
+    # the global threshold bootstrap FIRES (hot df~922 vs warm df~79);
+    # the seed-independent guarantee that the sweep covers the seeded
+    # scatter path, not just when the RNG happens to draw it
+    out += [
+        ("search_or", (["hot", "warm1"],), {}),
+        ("search_or", (["hot", "warm7", "zone3"],), {}),
+        ("search_or", (["hot", "warm2", "warm9"],), {}),
+    ]
     return out
 
 
