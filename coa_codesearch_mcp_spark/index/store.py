@@ -551,6 +551,12 @@ class IndexWriter:
         only the dictionary + postings stages rerun over the merged
         token set (reference analog: Lucene segment merges reuse stored
         postings, LuceneIndexService.cs:142-151)."""
+        from .lock import WriteLock
+
+        with WriteLock(self.root):
+            return self._build_from_tokens_locked(tokens)
+
+    def _build_from_tokens_locked(self, tokens: DataFrame) -> Manifest:
         cfg = self.cfg
         rows = tokens.select("doc_id", "tokens", "dl").withColumn(
             "chunk_id", self._chunk_col()
@@ -590,14 +596,19 @@ class IndexWriter:
         return self.manifest
 
     def build(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Manifest:
-        self.tokenize_stage(docs, id_col, text_col)
-        self.dictionary_stage()
-        self.postings_stage()
-        self.manifest.set_stats(
-            "postings", {"postings_blocks": self._postings_blocks_total()}
-        )
-        self.manifest.commit()
-        return self.manifest
+        from .lock import WriteLock
+
+        # one writer per index root (Lucene write.lock semantics);
+        # stale locks from crashed builds are broken, so resume works
+        with WriteLock(self.root):
+            self.tokenize_stage(docs, id_col, text_col)
+            self.dictionary_stage()
+            self.postings_stage()
+            self.manifest.set_stats(
+                "postings", {"postings_blocks": self._postings_blocks_total()}
+            )
+            self.manifest.commit()
+            return self.manifest
 
 
 class IndexReader:

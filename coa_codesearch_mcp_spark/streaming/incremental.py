@@ -164,11 +164,14 @@ class DeltaIndexManager:
     # ------------------------------------------------------ mutation
 
     def init_main(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> None:
-        IndexWriter(self.spark, self._main_root(), self.cfg).build(
-            docs, id_col=id_col, text_col=text_col
-        )
-        self.manifest.record_unit("segments", "main", {"kind": "main"})
-        self.manifest.commit()
+        from ..index.lock import WriteLock
+
+        with WriteLock(self.root):
+            IndexWriter(self.spark, self._main_root(), self.cfg).build(
+                docs, id_col=id_col, text_col=text_col
+            )
+            self.manifest.record_unit("segments", "main", {"kind": "main"})
+            self.manifest.commit()
 
     def apply_batch(self, changes: DataFrame, delta_id: int | None = None) -> dict:
         """MERGE one micro-batch of change events.
@@ -189,6 +192,12 @@ class DeltaIndexManager:
         be committed — so a crash anywhere before 4 leaves the index
         exactly as it was.
         """
+        from ..index.lock import WriteLock
+
+        with WriteLock(self.root):
+            return self._apply_batch_locked(changes, delta_id)
+
+    def _apply_batch_locked(self, changes: DataFrame, delta_id: int | None) -> dict:
         latest = (
             changes.withColumn(
                 "_rn",
@@ -416,6 +425,12 @@ class DeltaIndexManager:
         rmtree-then-os.replace sequence had a no-main window)."""
         import shutil
 
+        from ..index.lock import WriteLock
+
+        with WriteLock(self.root):
+            self._flip_locked(build_fn, shutil)
+
+    def _flip_locked(self, build_fn, shutil) -> None:
         act = self._active()
         epoch = int(act.get("epoch", 0)) + 1
         new_main_rel = f"main_{epoch:06d}"
@@ -446,7 +461,7 @@ class DeltaIndexManager:
         # dirs live in the manifest and a separate expiry pass reclaims
         # them (expire_snapshots semantics). Default: keep exactly the
         # previous epoch.
-        self.expire_epochs(keep_last=1)
+        self._expire_locked(keep_last=1)
 
     def expire_epochs(self, keep_last: int = 1) -> list[str]:
         """Delete retired epoch directories, keeping the most recent
@@ -454,6 +469,12 @@ class DeltaIndexManager:
         (public analog: Iceberg's expire_snapshots — data files are
         only reclaimed by an explicit maintenance op, never by the
         commit that superseded them). Returns the deleted dirs."""
+        from ..index.lock import WriteLock
+
+        with WriteLock(self.root):
+            return self._expire_locked(keep_last)
+
+    def _expire_locked(self, keep_last: int) -> list[str]:
         import shutil
 
         retired = self.manifest.get_stats("retired_epochs", [])
