@@ -270,9 +270,26 @@ class DeltaIndexManager:
             total += float(live["s"] or 0.0)
         return n, (total / n if n else 0.0)
 
-    def search_or(self, terms: list[str], k: int = 10) -> DataFrame:
-        """BM25 OR top-k across all live segments (exact global stats,
-        tombstone-scoped visibility).
+    def search_or(
+        self, terms: list[str], k: int = 10, exclude: list[str] | None = None
+    ) -> DataFrame:
+        return self._search(terms, k, "or", exclude)
+
+    def search_and(
+        self, terms: list[str], k: int = 10, exclude: list[str] | None = None
+    ) -> DataFrame:
+        return self._search(terms, k, "and", exclude)
+
+    def _search(
+        self,
+        terms: list[str],
+        k: int,
+        mode: str,
+        exclude: list[str] | None = None,
+    ) -> DataFrame:
+        """BM25 top-k across all live segments (exact global stats,
+        tombstone-scoped visibility); OR / AND / NOT-exclude, same
+        result contract as StoreSearcher.
 
         df is computed over LIVE docs — a distributed pass over the
         query terms' (pruned) posting blocks that excludes tombstone-
@@ -282,11 +299,18 @@ class DeltaIndexManager:
         repro: score 0.47 vs 0.9808 after an upsert). Two decode
         passes over the candidate blocks is the price of exactness;
         both are per-range parallel and touch only the query terms'
-        blocks, never the index."""
+        blocks, never the index.
+
+        AND and NOT need no per-segment special casing: after
+        tombstone filtering every visible doc has exactly ONE live
+        copy (apply_batch tombstones all prior copies of an upserted
+        url), so per-doc matched-term counts and banned sets compose
+        across segments exactly as they do within one index."""
         from ..index.codec import decode_blocks, varint_decode
         from ..query.bm25 import B, K1, idf_py
 
         terms = sorted(set(terms))
+        exclude = sorted(set(exclude or []))
         n_docs, avgdl = self.combined_stats()
         segs = self.segments()
         if not segs or n_docs == 0:
@@ -294,7 +318,7 @@ class DeltaIndexManager:
 
         all_blocks = None
         for seg_id, r in segs:
-            blocks, info = r.postings_blocks(terms)
+            blocks, info = r.postings_blocks(terms + exclude)
             tagged = blocks.withColumn("seg_id", F.lit(seg_id))
             all_blocks = tagged if all_blocks is None else all_blocks.unionByName(tagged)
 
@@ -340,10 +364,16 @@ class DeltaIndexManager:
             .collect()
         )
         df_by_term = {r["term"]: int(r["df"]) for r in df_rows}
-        idfs = {t: idf_py(df_by_term[t], n_docs) for t in terms if df_by_term.get(t)}
-        if not idfs:
+        idfs = {
+            t: idf_py(df_by_term[t], n_docs)
+            for t in terms
+            if df_by_term.get(t)
+        }
+        if not idfs or (mode == "and" and len(idfs) < len(terms)):
             return self.spark.createDataFrame([], "doc_id long, score double")
         kk = k
+        n_required = len(terms) if mode == "and" else None
+        exclude_set = set(exclude)
 
         def per_range(pdf: pd.DataFrame, tomb_pdf: pd.DataFrame) -> pd.DataFrame:
             tomb_map = dict(
@@ -353,11 +383,21 @@ class DeltaIndexManager:
                 )
             )
             doc_scores: dict[int, float] = {}
+            doc_matches: dict[int, int] = {}
+            banned: set[int] = set()
             for (term, seg_id), grp in pdf.groupby(["term", "seg_id"], sort=True):
-                if term not in idfs:
+                is_banned_term = term in exclude_set
+                if term not in idfs and not is_banned_term:
                     continue
                 rows = grp.sort_values("block_no").to_dict("records")
                 doc_ids, tfs = decode_blocks(rows)
+                if is_banned_term:
+                    for d in doc_ids.tolist():
+                        upto = tomb_map.get(d)
+                        if upto is not None and seg_id < upto:
+                            continue  # hidden copy doesn't ban
+                        banned.add(d)
+                    continue
                 dls = np.concatenate(
                     [varint_decode(r["dls"], r["n"]) for r in rows]
                 ).astype(np.float64)
@@ -373,8 +413,16 @@ class DeltaIndexManager:
                     if upto is not None and seg_id < upto:
                         continue  # hidden in this segment
                     doc_scores[d] = doc_scores.get(d, 0.0) + c
+                    doc_matches[d] = doc_matches.get(d, 0) + 1
+            items = doc_scores.items()
+            if n_required is not None:
+                items = [
+                    kv for kv in items if doc_matches.get(kv[0], 0) == n_required
+                ]
+            if banned:
+                items = [kv for kv in items if kv[0] not in banned]
             ranked = sorted(
-                doc_scores.items(), key=lambda kv: (-round(kv[1], 4), kv[0])
+                items, key=lambda kv: (-round(kv[1], 4), kv[0])
             )[:kk]
             return pd.DataFrame(ranked, columns=["doc_id", "score"])
 

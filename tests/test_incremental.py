@@ -464,3 +464,77 @@ def test_snapshot_isolation_across_compaction(spark, mgr, tmp_path):
     assert deleted, "expire_epochs(0) must reclaim the last retired epoch"
     assert final.manifest.get_stats("retired_epochs", []) == []
     assert hits(final, ["snapword"]) == at_epoch1  # active epoch untouched
+
+
+def test_and_and_not_match_fresh_rebuild(spark, tmp_path):
+    """Round-3: incremental AND / NOT-exclude across segments must
+    equal a fresh single-index rebuild over the live corpus, including
+    after upsert/delete churn touching the probe terms."""
+    from coa_codesearch_mcp_spark.streaming.incremental import _url_doc_id
+
+    docs_rows = [
+        ("https://c.org/1.html", TS, "apple banana cherry shared"),
+        ("https://c.org/2.html", TS, "apple orange shared"),
+        ("https://c.org/3.html", TS, "banana orange shared extra"),
+        ("https://c.org/4.html", TS, "apple banana orange"),
+        ("https://c.org/5.html", TS, "kiwi mango"),
+    ]
+    docs = spark.createDataFrame(
+        docs_rows, "url string, warc_ts timestamp, text string"
+    ).withColumn("doc_id", _url_doc_id())
+    mgr = DeltaIndexManager(spark, str(tmp_path / "inc_andnot"), CFG)
+    mgr.init_main(docs)
+    # churn: doc 1 loses 'apple', doc 5 deleted, one new doc gains both
+    mgr.apply_batch(
+        _changes(
+            spark,
+            [
+                ("https://c.org/1.html", "upsert", "banana cherry shared", TS, TS),
+                ("https://c.org/5.html", "delete", None, None, TS),
+                ("https://c.org/6.html", "upsert", "apple banana fresh", TS, TS),
+            ],
+        )
+    )
+
+    live_rows = [
+        ("https://c.org/1.html", TS, "banana cherry shared"),
+        ("https://c.org/2.html", TS, "apple orange shared"),
+        ("https://c.org/3.html", TS, "banana orange shared extra"),
+        ("https://c.org/4.html", TS, "apple banana orange"),
+        ("https://c.org/6.html", TS, "apple banana fresh"),
+    ]
+    live = spark.createDataFrame(
+        live_rows, "url string, warc_ts timestamp, text string"
+    ).withColumn("doc_id", _url_doc_id())
+    fresh = DeltaIndexManager(spark, str(tmp_path / "fresh_andnot"), CFG)
+    fresh.init_main(live)
+
+    def and_hits(m, terms, **kw):
+        return {
+            r["doc_id"]: r["score"] for r in m.search_and(terms, 10, **kw).collect()
+        }
+
+    def or_hits(m, terms, **kw):
+        return {
+            r["doc_id"]: r["score"] for r in m.search_or(terms, 10, **kw).collect()
+        }
+
+    for probe in [["apple", "banana"], ["banana", "shared"], ["apple", "kiwi"]]:
+        assert and_hits(mgr, probe) == and_hits(fresh, probe), probe
+    # AND with a term that only exists in a DELTA segment
+    assert and_hits(mgr, ["apple", "fresh"]) == and_hits(fresh, ["apple", "fresh"])
+    assert len(and_hits(mgr, ["apple", "fresh"])) == 1
+    # NOT: exclusion hides the upserted/new docs' copies correctly
+    for terms, excl in [
+        (["banana"], ["orange"]),
+        (["shared"], ["apple"]),
+        (["apple", "banana"], ["cherry"]),
+    ]:
+        assert or_hits(mgr, terms, exclude=excl) == or_hits(
+            fresh, terms, exclude=excl
+        ), (terms, excl)
+    # a doc whose OLD version contained the banned term is NOT banned
+    # once upserted without it: doc 1 lost 'apple', so NOT-apple now
+    # returns it
+    got = or_hits(mgr, ["cherry"], exclude=["apple"])
+    assert len(got) == 1, got
