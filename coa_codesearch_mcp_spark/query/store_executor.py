@@ -199,73 +199,11 @@ class StoreSearcher:
         max_span = (n - 1) + slop
         seq = list(terms)
 
-        def per_range(pdf: pd.DataFrame) -> pd.DataFrame:
-            from ..index.codec import varint_decode, decode_blocks
-            import numpy as np
-
-            # decode (doc -> positions) per term in this range
-            per_term_pos: dict[str, dict[int, list[int]]] = {}
-            per_doc_dl: dict[int, int] = {}
-            for term, grp in pdf.groupby("term", sort=True):
-                rows = grp.sort_values("block_no").to_dict("records")
-                doc_ids, tfs = decode_blocks(rows)
-                dls = np.concatenate(
-                    [varint_decode(r["dls"], r["n"]) for r in rows]
-                ).astype(np.int64)
-                pos_all = np.concatenate(
-                    [
-                        varint_decode(r["pos_blob"], int(tfs_sum))
-                        for r, tfs_sum in zip(
-                            rows,
-                            [
-                                varint_decode(r["tfs"], r["n"]).sum()
-                                for r in rows
-                            ],
-                        )
-                    ]
-                ).astype(np.int64) if len(rows) else np.empty(0, np.int64)
-                mapping: dict[int, list[int]] = {}
-                off = 0
-                for d, tf, dl in zip(doc_ids, tfs, dls):
-                    deltas = pos_all[off : off + tf]
-                    off += tf
-                    pos = np.cumsum(deltas) - 1
-                    mapping[int(d)] = pos.tolist()
-                    per_doc_dl[int(d)] = int(dl)
-                per_term_pos[term] = mapping
-            if any(t not in per_term_pos for t in seq):
-                return pd.DataFrame(columns=["doc_id", "phrase_tf", "dl"])
-            cand = set(per_term_pos[seq[0]])
-            for t in seq[1:]:
-                cand &= set(per_term_pos[t])
-            out = []
-            for d in sorted(cand):
-                count = 0
-                for start in per_term_pos[seq[0]][d]:
-                    prev = start
-                    ok = True
-                    for t in seq[1:]:
-                        nxt = next(
-                            (
-                                q
-                                for q in per_term_pos[t][d]
-                                if q > prev and q - start <= max_span
-                            ),
-                            None,
-                        )
-                        if nxt is None:
-                            ok = False
-                            break
-                        prev = nxt
-                    if ok:
-                        count += 1
-                if count:
-                    out.append((d, count, per_doc_dl[d]))
-            return pd.DataFrame(out, columns=["doc_id", "phrase_tf", "dl"])
+        from .phrase import CAND_SCHEMA, phrase_candidates
 
         cand = blocks.repartition("range_id").groupBy("range_id").applyInPandas(
-            lambda key, pdf: per_range(pdf),
-            "doc_id long, phrase_tf long, dl long",
+            lambda key, pdf: phrase_candidates(pdf, seq, max_span),
+            CAND_SCHEMA,
         )
         # phrase df via a 1-row broadcast of a global count aggregate:
         # partial counts per partition, one row moved — the previous

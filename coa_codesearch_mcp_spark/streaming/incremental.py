@@ -440,6 +440,130 @@ class DeltaIndexManager:
             .limit(k)
         )
 
+    def search_phrase(
+        self, terms: list[str], k: int = 10, slop: int = 0
+    ) -> DataFrame:
+        """Positional phrase across live segments — the SAME pinned
+        matcher as the single-index store path (query/phrase.py), with
+        tombstone visibility injected per (doc, segment). Phrase df /
+        N / avgdl are computed over live docs, so scores equal a fresh
+        rebuild's exactly."""
+        from ..query.bm25 import bm25_contrib
+        from ..query.phrase import CAND_SCHEMA, phrase_candidates
+
+        if not terms:
+            raise ValueError("empty phrase")
+        if len(terms) == 1:
+            return self.search_or(terms, k)
+        uniq = sorted(set(terms))
+        n_docs, avgdl = self.combined_stats()
+        segs = self.segments()
+        if not segs or n_docs == 0:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+
+        all_blocks, present = None, set()
+        for seg_id, r in segs:
+            blocks, info = r.postings_blocks(uniq)
+            present |= set(info)
+            tagged = blocks.withColumn("seg_id", F.lit(seg_id))
+            all_blocks = (
+                tagged if all_blocks is None else all_blocks.unionByName(tagged)
+            )
+        if any(t not in present for t in uniq):
+            return self.spark.createDataFrame([], "doc_id long, score double")
+
+        max_span = (len(terms) - 1) + slop
+        seq = list(terms)
+        tomb_by_range = self.tombstones().withColumn(
+            "range_id",
+            F.expr(f"CAST(doc_id DIV {self.cfg.range_size} AS LONG)"),
+        )
+
+        def per_range(pdf: pd.DataFrame, tomb_pdf: pd.DataFrame) -> pd.DataFrame:
+            tomb_map = dict(
+                zip(
+                    tomb_pdf["doc_id"].astype("int64").tolist(),
+                    tomb_pdf["upto_seg"].astype("int64").tolist(),
+                )
+            )
+
+            def visible(doc_id: int, seg_id: int) -> bool:
+                upto = tomb_map.get(doc_id)
+                return upto is None or seg_id >= upto
+
+            return phrase_candidates(pdf, seq, max_span, visible=visible)
+
+        cand = (
+            all_blocks.groupby("range_id")
+            .cogroup(tomb_by_range.groupby("range_id"))
+            .applyInPandas(per_range, CAND_SCHEMA)
+        )
+        total = cand.agg(
+            F.greatest(F.count(F.lit(1)), F.lit(1)).alias("phrase_df")
+        )
+        cand = cand.crossJoin(F.broadcast(total))
+        scored = cand.select(
+            "doc_id",
+            F.round(
+                bm25_contrib(
+                    F.col("phrase_tf"),
+                    F.col("phrase_df"),
+                    F.col("dl"),
+                    n_docs,
+                    avgdl,
+                ),
+                4,
+            ).alias("score"),
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def _expand(self, predicate) -> list[str]:
+        """Union of every live segment's dictionary, filtered +
+        capped like the store path. Terms whose only docs are hidden
+        may survive expansion — harmless: _search drops terms whose
+        LIVE df is zero."""
+        from ..query.executor import MAX_CLAUSE_COUNT
+
+        d = None
+        for _, r in self.segments():
+            t = r.dictionary().select("term")
+            d = t if d is None else d.unionByName(t)
+        if d is None:
+            return []
+        rows = (
+            d.filter(predicate)
+            .distinct()
+            .orderBy("term")
+            .limit(MAX_CLAUSE_COUNT)
+            .collect()
+        )
+        return [r["term"] for r in rows]
+
+    def search_wildcard(self, pattern: str, k: int = 10) -> DataFrame:
+        from ..functions.text import glob_to_regex
+
+        terms = self._expand(F.col("term").rlike(glob_to_regex(pattern)))
+        return self._search(terms, k, "or") if terms else self.spark.createDataFrame(
+            [], "doc_id long, score double"
+        )
+
+    def search_fuzzy(self, term: str, k: int = 10, max_edits: int = 2) -> DataFrame:
+        pred = (
+            (F.length("term") >= len(term) - max_edits)
+            & (F.length("term") <= len(term) + max_edits)
+            & (F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
+        )
+        terms = self._expand(pred)
+        return self._search(terms, k, "or") if terms else self.spark.createDataFrame(
+            [], "doc_id long, score double"
+        )
+
+    def search_prefix(self, prefix: str, k: int = 10) -> DataFrame:
+        terms = self._expand(F.col("term").startswith(prefix))
+        return self._search(terms, k, "or") if terms else self.spark.createDataFrame(
+            [], "doc_id long, score double"
+        )
+
     # --------------------------------------------------- compaction
 
     def live_tokens(self) -> DataFrame:

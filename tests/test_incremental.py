@@ -538,3 +538,76 @@ def test_and_and_not_match_fresh_rebuild(spark, tmp_path):
     # returns it
     got = or_hits(mgr, ["cherry"], exclude=["apple"])
     assert len(got) == 1, got
+
+
+def test_phrase_and_expansions_match_fresh_rebuild(spark, tmp_path):
+    """Round-3: incremental phrase (positions + tombstone visibility)
+    and dictionary-expansion queries (wildcard/fuzzy/prefix) equal a
+    fresh rebuild over the live corpus — including when the phrase
+    only matches the UPSERTED version of a doc, and when an expansion
+    term's only live doc is in a delta."""
+    from coa_codesearch_mcp_spark.streaming.incremental import _url_doc_id
+
+    docs_rows = [
+        ("https://p.org/1.html", TS, "red quick fox runs red"),
+        ("https://p.org/2.html", TS, "quick brown fox jumps high"),
+        ("https://p.org/3.html", TS, "brown fox quick brown fox"),
+        ("https://p.org/4.html", TS, "quietly browsing foxes"),
+    ]
+    docs = spark.createDataFrame(
+        docs_rows, "url string, warc_ts timestamp, text string"
+    ).withColumn("doc_id", _url_doc_id())
+    mgr = DeltaIndexManager(spark, str(tmp_path / "inc_phrase"), CFG)
+    mgr.init_main(docs)
+    # churn: doc 1 GAINS the phrase, doc 2 LOSES it, new doc has it
+    mgr.apply_batch(
+        _changes(
+            spark,
+            [
+                ("https://p.org/1.html", "upsert", "quick brown fox now here", TS, TS),
+                ("https://p.org/2.html", "upsert", "fox brown quick scrambled", TS, TS),
+                ("https://p.org/5.html", "upsert", "very quick brown fox delta", TS, TS),
+            ],
+        )
+    )
+
+    live_rows = [
+        ("https://p.org/1.html", TS, "quick brown fox now here"),
+        ("https://p.org/2.html", TS, "fox brown quick scrambled"),
+        ("https://p.org/3.html", TS, "brown fox quick brown fox"),
+        ("https://p.org/4.html", TS, "quietly browsing foxes"),
+        ("https://p.org/5.html", TS, "very quick brown fox delta"),
+    ]
+    live = spark.createDataFrame(
+        live_rows, "url string, warc_ts timestamp, text string"
+    ).withColumn("doc_id", _url_doc_id())
+    fresh = DeltaIndexManager(spark, str(tmp_path / "fresh_phrase"), CFG)
+    fresh.init_main(live)
+
+    def ph(m, terms, slop=0):
+        return {
+            r["doc_id"]: r["score"]
+            for r in m.search_phrase(terms, 10, slop=slop).collect()
+        }
+
+    got = ph(mgr, ["quick", "brown", "fox"])
+    assert got == ph(fresh, ["quick", "brown", "fox"])
+    # docs 1 (upserted in), 5 (new), 3 (quick@2 brown@3 fox@4); the
+    # upserted-out doc 2 ("fox brown quick") must NOT match
+    assert len(got) == 3
+    doc2 = [r["doc_id"] for r in live.filter("url = 'https://p.org/2.html'").collect()]
+    assert doc2[0] not in got
+    assert ph(mgr, ["brown", "fox"], slop=1) == ph(fresh, ["brown", "fox"], slop=1)
+
+    def rows_of(df):
+        return {r["doc_id"]: r["score"] for r in df.collect()}
+
+    assert rows_of(mgr.search_wildcard("qui*")) == rows_of(
+        fresh.search_wildcard("qui*")
+    )
+    assert rows_of(mgr.search_prefix("brow")) == rows_of(fresh.search_prefix("brow"))
+    assert rows_of(mgr.search_fuzzy("quik")) == rows_of(fresh.search_fuzzy("quik"))
+    # 'delta' exists ONLY in the delta segment — expansion must find it
+    got_delta = rows_of(mgr.search_wildcard("delt*"))
+    assert got_delta == rows_of(fresh.search_wildcard("delt*"))
+    assert len(got_delta) == 1
