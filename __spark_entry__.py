@@ -76,7 +76,16 @@ def _store_searcher(
             max_salts=8,
         )
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        IndexWriter(spark, root, cfg).build(docs)  # no-op when complete
+        try:
+            IndexWriter(spark, root, cfg).build(docs)  # no-op when complete
+        except ValueError:
+            # a /tmp index persisted by an older layout/config: the
+            # writer refuses to silently reuse it (round-2 ADVICE) —
+            # the driver harness self-heals by clearing and rebuilding
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
+            IndexWriter(spark, root, cfg).build(docs)
         _INDEX_CACHE[key] = StoreSearcher(IndexReader(spark, root))
     return _INDEX_CACHE[key]
 

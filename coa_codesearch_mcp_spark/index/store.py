@@ -589,11 +589,18 @@ class IndexWriter:
             self.manifest.commit()
         self.dictionary_stage()
         self.postings_stage()
-        self.manifest.set_stats(
-            "postings", {"postings_blocks": self._postings_blocks_total()}
-        )
+        self._record_blocks_stat()
         self.manifest.commit()
         return self.manifest
+
+    def _record_blocks_stat(self) -> None:
+        # never clobber a prior correct count with 0: a re-opened
+        # complete index whose units predate wave_blocks (or whose
+        # stages all early-returned) sums to zero here
+        total = self._postings_blocks_total()
+        prior = self.manifest.get_stats("postings", {}).get("postings_blocks", 0)
+        if total or not prior:
+            self.manifest.set_stats("postings", {"postings_blocks": total})
 
     def build(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Manifest:
         from .lock import WriteLock
@@ -604,9 +611,7 @@ class IndexWriter:
             self.tokenize_stage(docs, id_col, text_col)
             self.dictionary_stage()
             self.postings_stage()
-            self.manifest.set_stats(
-                "postings", {"postings_blocks": self._postings_blocks_total()}
-            )
+            self._record_blocks_stat()
             self.manifest.commit()
             return self.manifest
 

@@ -88,19 +88,28 @@ class TextSearchEngine:
             return ix.postings.sparkSession
         return None
 
-    def _run_cached(self, key: tuple, run) -> tuple[DataFrame, bool]:
+    def _run_cached(self, key: tuple, run, state: dict | None = None) -> tuple[DataFrame, bool]:
         """run() -> lazy hits DataFrame. Returns (hits, from_cache).
         On a miss the result is materialized once (it is top-k small
-        by contract), stored, and returned as a local relation."""
+        by contract), stored, and returned as a local relation.
+
+        ``state`` (the auto path's fallback marker) is cached WITH the
+        rows: a hit must report the same fallback_used the original
+        execution did, not a hardcoded False."""
         spark = self._spark()
         if self.cache is None or spark is None:
             return run(), False
-        rows = self.cache.get(key)
-        if rows is not None:
+        cached = self.cache.get(key)
+        if cached is not None:
+            rows, fallback = cached
+            if state is not None:
+                state["fallback"] = fallback
             return rows_to_local_df(spark, rows), True
         df = run()
         collected = [(r["doc_id"], r["score"]) for r in df.collect()]
-        self.cache.put(key, collected)
+        self.cache.put(
+            key, (collected, bool(state and state.get("fallback")))
+        )
         return rows_to_local_df(spark, collected), False
 
     def search(
@@ -154,7 +163,7 @@ class TextSearchEngine:
                 state["fallback"] = True
             return hits
 
-        hits, hit = self._run_cached(key, run)
+        hits, hit = self._run_cached(key, run, state)
         return SearchResult(
             hits, plan, "standard",
             fallback_used=state["fallback"], from_cache=hit,

@@ -26,7 +26,6 @@ from pyspark.sql import functions as F
 
 from ..index.store import IndexReader
 from .bm25 import idf_py
-from .executor import MAX_CLAUSE_COUNT
 from .wand import wand_topk
 
 _RESULT_SCHEMA = "doc_id long, score double"
@@ -237,37 +236,32 @@ class StoreSearcher:
     # --------------------------------------- dictionary expansions
 
     def _expand(self, predicate) -> list[str]:
-        rows = (
-            self.reader.dictionary()
-            .filter(predicate)
-            .select("term")
-            .orderBy("term")
-            .limit(MAX_CLAUSE_COUNT)
-            .collect()
-        )
-        return [r["term"] for r in rows]
+        from .expansion import expand_terms
+
+        return expand_terms(self.reader.dictionary(), predicate)
 
     def search_wildcard(self, pattern: str, k: int = 10) -> DataFrame:
-        from ..functions.text import glob_to_regex
+        from .expansion import wildcard_predicate
 
-        terms = self._expand(F.col("term").rlike(glob_to_regex(pattern)))
+        terms = self._expand(wildcard_predicate(pattern))
         return self.search_or(terms, k) if terms else self._empty()
 
     def search_regexp(self, pattern: str, k: int = 10) -> DataFrame:
-        terms = self._expand(F.col("term").rlike(f"^(?:{pattern})$"))
+        from .expansion import regexp_predicate
+
+        terms = self._expand(regexp_predicate(pattern))
         return self.search_or(terms, k) if terms else self._empty()
 
     def search_fuzzy(self, term: str, k: int = 10, max_edits: int = 2) -> DataFrame:
-        pred = (
-            (F.length("term") >= len(term) - max_edits)
-            & (F.length("term") <= len(term) + max_edits)
-            & (F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
-        )
-        terms = self._expand(pred)
+        from .expansion import fuzzy_predicate
+
+        terms = self._expand(fuzzy_predicate(term, max_edits))
         return self.search_or(terms, k) if terms else self._empty()
 
     def search_prefix(self, prefix: str, k: int = 10) -> DataFrame:
-        terms = self._expand(F.col("term").startswith(prefix))
+        from .expansion import prefix_predicate
+
+        terms = self._expand(prefix_predicate(prefix))
         return self.search_or(terms, k) if terms else self._empty()
 
     def _empty(self) -> DataFrame:

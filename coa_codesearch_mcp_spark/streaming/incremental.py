@@ -103,12 +103,28 @@ class DeltaIndexManager:
     def _tombstone_path(self) -> str:
         return os.path.join(self.root, self._active()["tombstone_dir"])
 
+    def _refresh_manifest(self) -> None:
+        """Reload the manifest from disk. MUST be called right after
+        acquiring the write lock: the in-memory manifest is a snapshot
+        from construction time, and committing from a stale snapshot
+        would erase units another (serialized, but earlier) writer
+        committed — the lock orders writers, the reload makes each one
+        see its predecessor's commits."""
+        self.manifest = Manifest.load_or_create(self.root)
+
     def reserve_delta_id(self) -> int:
         """Durably reserve the next delta id BEFORE any batch work.
         A batch that fails burns its id (never reused for different
         content), and a parked batch redelivers under the id it was
         issued — so the tombstone last-writer-wins ordering key is
         stable across failures and retries."""
+        from ..index.lock import WriteLock
+
+        with WriteLock(self.root):
+            self._refresh_manifest()
+            return self._reserve_locked()
+
+    def _reserve_locked(self) -> int:
         fallback = (self._delta_ids()[-1] + 1) if self._delta_ids() else MAIN_SEG + 1
         nxt = int(self.manifest.get_stats("next_delta_id", fallback))
         self.manifest.set_stats("next_delta_id", nxt + 1)
@@ -167,6 +183,7 @@ class DeltaIndexManager:
         from ..index.lock import WriteLock
 
         with WriteLock(self.root):
+            self._refresh_manifest()
             IndexWriter(self.spark, self._main_root(), self.cfg).build(
                 docs, id_col=id_col, text_col=text_col
             )
@@ -195,6 +212,7 @@ class DeltaIndexManager:
         from ..index.lock import WriteLock
 
         with WriteLock(self.root):
+            self._refresh_manifest()
             return self._apply_batch_locked(changes, delta_id)
 
     def _apply_batch_locked(self, changes: DataFrame, delta_id: int | None) -> dict:
@@ -210,12 +228,18 @@ class DeltaIndexManager:
             .withColumn("doc_id", _url_doc_id())
             .cache()
         )
+        try:
+            return self._apply_cached(latest, delta_id)
+        finally:
+            latest.unpersist()
+
+    def _apply_cached(self, latest: DataFrame, delta_id: int | None) -> dict:
         n_events = latest.count()
         if n_events == 0:
             return {"events": 0}
 
         if delta_id is None:
-            delta_id = self.reserve_delta_id()
+            delta_id = self._reserve_locked()
 
         # 2) delta segment first — a retried batch resumes the build
         # (IndexWriter skips completed token chunks; same id => same
@@ -248,7 +272,6 @@ class DeltaIndexManager:
             "deltas", str(delta_id), {"events": n_events, "upserts": n_upserts}
         )
         self.manifest.commit()
-        latest.unpersist()
         return {"events": n_events, "upserts": n_upserts, "delta_id": delta_id}
 
     # -------------------------------------------------------- query
@@ -517,12 +540,16 @@ class DeltaIndexManager:
         )
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def _empty_hits(self) -> DataFrame:
+        return self.spark.createDataFrame([], "doc_id long, score double")
+
     def _expand(self, predicate) -> list[str]:
         """Union of every live segment's dictionary, filtered +
-        capped like the store path. Terms whose only docs are hidden
-        may survive expansion — harmless: _search drops terms whose
-        LIVE df is zero."""
-        from ..query.executor import MAX_CLAUSE_COUNT
+        capped via the SAME rewrite as the store path
+        (query/expansion.py). Terms whose only docs are hidden may
+        survive expansion — harmless: _search drops terms whose LIVE
+        df is zero."""
+        from ..query.expansion import expand_terms
 
         d = None
         for _, r in self.segments():
@@ -530,39 +557,31 @@ class DeltaIndexManager:
             d = t if d is None else d.unionByName(t)
         if d is None:
             return []
-        rows = (
-            d.filter(predicate)
-            .distinct()
-            .orderBy("term")
-            .limit(MAX_CLAUSE_COUNT)
-            .collect()
-        )
-        return [r["term"] for r in rows]
+        return expand_terms(d, predicate)
 
     def search_wildcard(self, pattern: str, k: int = 10) -> DataFrame:
-        from ..functions.text import glob_to_regex
+        from ..query.expansion import wildcard_predicate
 
-        terms = self._expand(F.col("term").rlike(glob_to_regex(pattern)))
-        return self._search(terms, k, "or") if terms else self.spark.createDataFrame(
-            [], "doc_id long, score double"
-        )
+        terms = self._expand(wildcard_predicate(pattern))
+        return self._search(terms, k, "or") if terms else self._empty_hits()
+
+    def search_regexp(self, pattern: str, k: int = 10) -> DataFrame:
+        from ..query.expansion import regexp_predicate
+
+        terms = self._expand(regexp_predicate(pattern))
+        return self._search(terms, k, "or") if terms else self._empty_hits()
 
     def search_fuzzy(self, term: str, k: int = 10, max_edits: int = 2) -> DataFrame:
-        pred = (
-            (F.length("term") >= len(term) - max_edits)
-            & (F.length("term") <= len(term) + max_edits)
-            & (F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
-        )
-        terms = self._expand(pred)
-        return self._search(terms, k, "or") if terms else self.spark.createDataFrame(
-            [], "doc_id long, score double"
-        )
+        from ..query.expansion import fuzzy_predicate
+
+        terms = self._expand(fuzzy_predicate(term, max_edits))
+        return self._search(terms, k, "or") if terms else self._empty_hits()
 
     def search_prefix(self, prefix: str, k: int = 10) -> DataFrame:
-        terms = self._expand(F.col("term").startswith(prefix))
-        return self._search(terms, k, "or") if terms else self.spark.createDataFrame(
-            [], "doc_id long, score double"
-        )
+        from ..query.expansion import prefix_predicate
+
+        terms = self._expand(prefix_predicate(prefix))
+        return self._search(terms, k, "or") if terms else self._empty_hits()
 
     # --------------------------------------------------- compaction
 
@@ -600,7 +619,22 @@ class DeltaIndexManager:
         from ..index.lock import WriteLock
 
         with WriteLock(self.root):
+            self._refresh_manifest()
+            if self.parked_batches():
+                raise RuntimeError(
+                    "cannot compact with parked batches pending: their "
+                    "reserved delta ids are an ordering key of THIS "
+                    "epoch — replayed after a flip, an old batch's "
+                    "tombstones would hide the new main (which already "
+                    "holds newer folded versions). Drain the retry "
+                    "queue (retry_parked) or discard it first."
+                )
             self._flip_locked(build_fn, shutil)
+
+    def parked_batches(self) -> list[str]:
+        import glob
+
+        return sorted(glob.glob(os.path.join(self.root, "retry", "batch_*")))
 
     def _flip_locked(self, build_fn, shutil) -> None:
         act = self._active()
@@ -644,6 +678,7 @@ class DeltaIndexManager:
         from ..index.lock import WriteLock
 
         with WriteLock(self.root):
+            self._refresh_manifest()
             return self._expire_locked(keep_last)
 
     def _expire_locked(self, keep_last: int) -> list[str]:
@@ -684,6 +719,11 @@ class DeltaIndexManager:
         main segment (sum of delta docs > delta_ratio * main docs) or
         too many small segments accumulate (> max_deltas). Returns True
         if a merge ran."""
+        if self.parked_batches():
+            # auto path: silently defer rather than fail the stream —
+            # compacting would invalidate the parked ids' epoch (see
+            # _flip_to_new_main's guard)
+            return False
         segs = self.segments()
         main_docs = next((r.n_docs for sid, r in segs if sid == MAIN_SEG), 0)
         delta_docs = sum(r.n_docs for sid, r in segs if sid != MAIN_SEG)

@@ -99,3 +99,61 @@ def test_index_build_takes_and_releases_lock(spark, tmp_path):
             w.build(docs)
     w.build(docs)
     assert not os.path.exists(os.path.join(root, LOCK_NAME))
+
+
+def test_recycled_pid_lock_is_stale(tmp_path):
+    """A crashed writer whose pid was recycled to an unrelated live
+    process must not hold the lock forever: /proc start-time identity
+    distinguishes the current pid holder from the recorded one."""
+    root = str(tmp_path / "ix")
+    os.makedirs(root)
+    with open(os.path.join(root, LOCK_NAME), "w") as f:
+        json.dump(
+            {
+                "pid": os.getpid(),            # a live pid...
+                "pid_start": 12345,            # ...recorded by a DIFFERENT process
+                "host": __import__("socket").gethostname(),
+                "ts": time.time(),
+            },
+            f,
+        )
+    lk = WriteLock(root).acquire()
+    assert json.load(open(lk.path))["pid"] == os.getpid()
+    lk.release()
+
+
+def test_break_race_single_winner(tmp_path):
+    """Two breakers racing a stale lock: exactly one acquires; the
+    loser either acquires after release or raises — never both holding
+    simultaneously (rename-aside break, not check-then-unlink)."""
+    import threading
+
+    root = str(tmp_path / "ix")
+    os.makedirs(root)
+    child = subprocess.Popen([sys.executable, "-c", "pass"])
+    child.wait()
+    with open(os.path.join(root, LOCK_NAME), "w") as f:
+        json.dump({"pid": child.pid, "host": __import__("socket").gethostname(),
+                   "ts": time.time()}, f)
+
+    held = []
+    lock_holders = []
+    barrier = threading.Barrier(2)
+
+    def contend(name):
+        barrier.wait()
+        try:
+            lk = WriteLock(root).acquire()
+            held.append(name)
+            lock_holders.append(json.load(open(lk.path))["pid"])
+            time.sleep(0.05)
+            assert held == [name], f"concurrent holders: {held}"
+            held.remove(name)
+            lk.release()
+        except LockHeldError:
+            pass
+
+    ts = [threading.Thread(target=contend, args=(i,)) for i in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert lock_holders, "at least one contender must have acquired"
