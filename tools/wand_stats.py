@@ -42,28 +42,65 @@ def main() -> None:
     def run(terms):
         blocks, info = reader.postings_blocks(terms)
         pdf = blocks.toPandas()
-        stats = WandStats()
-        n_ranges = 0
-        for _, grp in pdf.groupby("range_id"):
-            term_blocks = {
-                t: (info[t]["idf"], g.sort_values("block_no").to_dict("records"))
-                for t, g in grp.groupby("term")
-                if t in info
+        dfs = {t: info[t]["df"] for t in terms if t in info}
+
+        # the executor's global threshold bootstrap (StoreSearcher.
+        # _bootstrap_theta): k-th best single-term score of the rarest
+        # query term, seeded into every range
+        rare = min(dfs, key=dfs.get) if dfs else None
+        rare_scores = []
+        if rare is not None and len(dfs) > 1:
+            for _, grp in pdf[pdf["term"] == rare].groupby("range_id"):
+                rows = grp.sort_values("block_no").to_dict("records")
+                rare_scores.extend(
+                    s
+                    for _, s in wand_topk(
+                        {rare: (info[rare]["idf"], rows)}, reader.avgdl, k
+                    )
+                )
+        theta0 = (
+            sorted(rare_scores, reverse=True)[k - 1]
+            if len(rare_scores) >= k
+            else 0.0
+        )
+
+        def scatter(threshold0):
+            stats = WandStats()
+            n_ranges = 0
+            for _, grp in pdf.groupby("range_id"):
+                term_blocks = {
+                    t: (info[t]["idf"], g.sort_values("block_no").to_dict("records"))
+                    for t, g in grp.groupby("term")
+                    if t in info
+                }
+                wand_topk(
+                    term_blocks, reader.avgdl, k=k,
+                    threshold0=threshold0, stats=stats,
+                )
+                n_ranges += 1
+            return stats, n_ranges
+
+        def counters(stats):
+            return {
+                "blocks_total": stats.blocks_total,
+                "blocks_decoded": stats.blocks_decoded,
+                "decode_fraction": round(
+                    stats.blocks_decoded / max(stats.blocks_total, 1), 4
+                ),
+                "docs_scored": stats.docs_scored,
+                "scored_fraction_of_corpus": round(
+                    stats.docs_scored / max(reader.n_docs, 1), 4
+                ),
             }
-            wand_topk(term_blocks, reader.avgdl, k=k, stats=stats)
-            n_ranges += 1
+
+        cold, n_ranges = scatter(0.0)
+        seeded, _ = scatter(theta0)
         return {
             "terms": terms,
+            "df": dfs,
             "n_ranges": n_ranges,
-            "blocks_total": stats.blocks_total,
-            "blocks_decoded": stats.blocks_decoded,
-            "decode_fraction": round(
-                stats.blocks_decoded / max(stats.blocks_total, 1), 4
-            ),
-            "docs_scored": stats.docs_scored,
-            "scored_fraction_of_corpus": round(
-                stats.docs_scored / max(reader.n_docs, 1), 4
-            ),
+            "unseeded": counters(cold),
+            "bootstrapped": {"theta0": round(theta0, 4), **counters(seeded)},
         }
 
     print(
