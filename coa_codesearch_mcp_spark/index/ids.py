@@ -17,12 +17,18 @@ url to the same id):
   1. bucket = pmod(murmur3(url), P)    — pure column expr, no physical
                                           partition dependence;
   2. count docs per bucket, prefix-sum on the driver (P rows);
-  3. per bucket, sort by url and assign offset[bucket] + local rank
-     (one applyInPandas pass; each bucket holds ~n/P docs).
+  3. rank KEYS within each bucket (JVM window over the key column
+     only — a spillable sort, never a pandas materialization of full
+     rows: the round-3 version pulled an entire bucket of documents
+     INCLUDING text into one applyInPandas group, an OOM at the web
+     scales this is advertised for — round-3 ADVICE), then
+     doc_id = offset[bucket] + rank;
+  4. join the (key, doc_id) mapping back onto the full rows — an
+     ordinary shuffle join, spillable at any scale.
 
-Two passes over the input, but pass 1 reads only the key column
-(column pruning), and P is fixed by the CALLER, not the cluster, so
-the same job on N or 4N executors yields identical ids.
+Three passes over the key column, one over the full input, and P is
+fixed by the CALLER, not the cluster, so the same job on N or 4N
+executors yields identical ids.
 
 Reference context: Lucene assigns dense segment-local docIDs on write
 (cited behavior, not code: segments_N lineage); the distributed
@@ -31,10 +37,9 @@ equivalent of "dense ids per segment" is this bucketed prefix-sum.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
+from pyspark.sql import Window as W
 
 
 def assign_dense_doc_ids(
@@ -45,33 +50,25 @@ def assign_dense_doc_ids(
     ``partitions`` fixes the bucket count — part of the id mapping, so
     use the same value when re-running a resumable build. ``key_col``
     values must be unique (they identify docs)."""
-    bucket = F.pmod(F.hash(F.col(key_col)), F.lit(partitions)).alias("__bucket")
+    bucket = F.pmod(F.hash(F.col(key_col)), F.lit(partitions))
+    keys = docs.select(key_col).withColumn("__bucket", bucket)
     counts = {
         r["__bucket"]: r["cnt"]
-        for r in docs.select(bucket).groupBy("__bucket").agg(
-            F.count("*").alias("cnt")
-        ).collect()
+        for r in keys.groupBy("__bucket").agg(F.count("*").alias("cnt")).collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for b in range(partitions):
-        offsets[b] = acc
+        offsets.append(acc)
         acc += counts.get(b, 0)
 
-    schema = T.StructType(
-        list(docs.schema.fields) + [T.StructField("doc_id", T.LongType(), False)]
+    # rank keys inside each bucket with a JVM window: per-bucket sort
+    # is spillable and touches ONLY the key column — never text/html
+    rank = F.row_number().over(W.partitionBy("__bucket").orderBy(key_col))
+    offset_of_bucket = F.element_at(
+        F.array(*[F.lit(o) for o in offsets]), F.col("__bucket") + 1
     )
-    sc = docs.sparkSession.sparkContext
-    b_offsets = sc.broadcast(offsets)
-
-    def assign(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(key_col, kind="mergesort").reset_index(drop=True)
-        off = b_offsets.value[int(key[0])]
-        out = pdf.drop(columns=["__bucket"])
-        out["doc_id"] = range(off, off + len(pdf))
-        return out
-
-    return (
-        docs.withColumn("__bucket", bucket)
-        .groupBy("__bucket")
-        .applyInPandas(assign, schema)
+    mapping = keys.select(
+        key_col,
+        (offset_of_bucket + rank - 1).cast("long").alias("doc_id"),
     )
+    return docs.join(mapping, key_col)

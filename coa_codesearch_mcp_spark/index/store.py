@@ -597,8 +597,21 @@ class IndexWriter:
         # never clobber a prior correct count with 0: a re-opened
         # complete index whose units predate wave_blocks (or whose
         # stages all early-returned) sums to zero here
+        units = self.manifest.stage("postings")["units"]
+        uninstrumented = any("wave_blocks" not in u for u in units.values())
         total = self._postings_blocks_total()
         prior = self.manifest.get_stats("postings", {}).get("postings_blocks", 0)
+        if uninstrumented:
+            # some waves predate wave_blocks: summing only the
+            # instrumented ones UNDERCOUNTS, and a resumed build used
+            # to overwrite a previously-correct full count with that
+            # partial sum (round-3 ADVICE). Keep the prior full count;
+            # with no prior either, pay one count() job for the truth.
+            if prior:
+                return
+            total = self.spark.read.parquet(
+                os.path.join(self.root, "postings")
+            ).count()
         if total or not prior:
             self.manifest.set_stats("postings", {"postings_blocks": total})
 

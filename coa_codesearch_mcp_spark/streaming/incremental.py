@@ -706,10 +706,21 @@ class DeltaIndexManager:
         dictionary + postings directly (IndexWriter.build_from_tokens).
         Atomic flip via a single manifest commit (_flip_to_new_main).
         Reference: LuceneIndexService.cs:142-151 (size-tiered segment
-        merge policy)."""
-        live = self.live_tokens()
+        merge policy).
+
+        live_tokens() is resolved INSIDE the build callback — i.e.
+        under the write lock, AFTER _refresh_manifest() — so the folded
+        token set and the delta units the flip retires come from the
+        same committed manifest state. Snapshotting it out here (the
+        round-3 code) read the constructor-time manifest: deltas
+        committed by another writer between snapshot and lock were
+        missing from the fold yet still dropped by the flip — silent
+        data loss — and the stale tombstone view could resurrect
+        deleted docs (round-3 ADVICE, high)."""
         self._flip_to_new_main(
-            lambda path: IndexWriter(self.spark, path, self.cfg).build_from_tokens(live)
+            lambda path: IndexWriter(self.spark, path, self.cfg).build_from_tokens(
+                self.live_tokens()
+            )
         )
 
     def maybe_compact(

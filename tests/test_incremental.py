@@ -318,6 +318,47 @@ def test_tiered_compaction_matches_rebuild(spark, mgr, tmp_path):
     assert mgr.maybe_compact() is False
 
 
+def test_merge_folds_deltas_committed_by_other_writer(spark, mgr, tmp_path):
+    """A second writer commits a delta (and a delete) AFTER the first
+    manager loaded its manifest; the first manager's merge_deltas must
+    fold that delta and honor that tombstone. The round-3 code
+    snapshotted live_tokens() from the stale constructor-time manifest
+    before taking the lock — the other writer's delta was missing from
+    the fold yet retired by the flip (silent loss) and its delete
+    could resurrect (round-3 ADVICE, high)."""
+    other = DeltaIndexManager(spark, mgr.root, CFG)  # fresh manifest view
+    # ... but make MGR the stale one: mgr loaded its manifest at
+    # construction; `other` commits AFTER that load
+    deleted_url = "https://example.org/en/00000000.html"
+    deleted_word = generate_webpages_pdf(1, seed=42)["text"][0].split()[0].lower()
+    from coa_codesearch_mcp_spark.streaming.incremental import _url_doc_id
+
+    deleted_id = (
+        spark.createDataFrame([(deleted_url,)], "url string")
+        .select(_url_doc_id().alias("doc_id"))
+        .first()["doc_id"]
+    )
+    other.apply_batch(
+        _changes(
+            spark,
+            [
+                ("https://other.org/fresh.html", "upsert",
+                 "foldmarker text from the other writer", TS, TS),
+                (deleted_url, "delete", None, None, TS),
+            ],
+        )
+    )
+    # mgr's in-memory manifest predates other's commit
+    assert mgr._delta_ids() == []
+    mgr.merge_deltas()
+    # after the fold: single main segment, other's doc searchable,
+    # other's delete honored
+    segs = mgr.segments()
+    assert [sid for sid, _ in segs] == [0]
+    assert len(hits(mgr, ["foldmarker"])) == 1
+    assert deleted_id not in hits(mgr, [deleted_word], k=40)
+
+
 def test_resume_after_crash_is_exactly_once(spark, tmp_path):
     """Crash between the tokens write and manifest.commit() must NOT
     double-count on resume: the wave write is a dynamic partition
