@@ -28,6 +28,13 @@ K1, B = 1.2, 0.75
 INC_NEW_TEXT_7 = "pear plum quince entirely new page"
 INC_NEW_DOC_TEXT = "pear orchard notes and a quince recipe"
 
+# search_rescored_blend synthesized-url vocabulary — shared verbatim
+# by the Spark query and its DuckDB twin (docs carry no url/warc_ts)
+_RESCORE_DIRS = ["src", "tests", "docs", "node_modules", "core", "examples"]
+_RESCORE_STEMS = ["spark_utils", "main", "sparkservice", "readme", "spark", "helper"]
+_RESCORE_EXTS = [".py", ".md", ".json", ".cs", ".dll", ""]
+_RESCORE_REF_EPOCH = 1711929600  # 2024-04-01T00:00:00Z
+
 _INDEX_CACHE: dict[tuple[str, str], object] = {}
 
 
@@ -559,6 +566,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["batch", "dup"], k=6
         )
 
+    def search_rescored_blend(spark, sf):
+        """F1-F6 + the 0.6/0.4 GetScore blend through the full facade
+        (round-3 VERDICT Missing #1 / Next #3: the rank-critical
+        multi-factor composition had no CORRECTNESS oracle). The
+        corpus has no url/warc_ts columns, so both are synthesized
+        DETERMINISTICALLY from doc_id — identically in the SQL twin —
+        with shapes that exercise the directory ladder (src/tests/
+        docs/node_modules/core/examples), the extension weights
+        (.py/.md/.json/.cs/.dll/none), filename relevance (stems
+        containing/equaling/prefixing the query term), prod-pattern
+        boost (sparkservice.cs), recency branches (future -> 0.5,
+        <1 day -> 1.2x, stable-ext blend, artifact halving) and the
+        neutral interface factor. Reference formulas:
+        Scoring/MultiFactorScoreQuery.cs:187-224 + the six
+        IScoringFactor plug-ins (scoring/factors.py)."""
+        import datetime
+
+        from coa_codesearch_mcp_spark.query.engine import TextSearchEngine
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        dirs = F.array(*[F.lit(x) for x in _RESCORE_DIRS])
+        stems = F.array(*[F.lit(x) for x in _RESCORE_STEMS])
+        exts = F.array(*[F.lit(x) for x in _RESCORE_EXTS])
+        six = (F.col("doc_id") % 6 + 1).cast("int")
+        six2 = (F.expr("doc_id DIV 6") % 6 + 1).cast("int")
+        six3 = (F.expr("doc_id DIV 36") % 6 + 1).cast("int")
+        synth = docs.select(
+            "doc_id",
+            "text",
+            F.concat(
+                F.lit("https://example.org/"),
+                F.element_at(dirs, six),
+                F.lit("/"),
+                F.element_at(stems, six2),
+                F.element_at(exts, six3),
+            ).alias("url"),
+            # timestamp_seconds(epoch) is session-timezone-independent:
+            # age_days inside recency_boost becomes exactly the integer
+            # day offset the SQL twin uses
+            F.timestamp_seconds(
+                F.lit(_RESCORE_REF_EPOCH)
+                - ((F.col("doc_id") % 40) - 5) * 86400
+            ).alias("warc_ts"),
+        )
+        eng = TextSearchEngine({"content": _searcher(spark, sf, "content")})
+        return eng.search_rescored(
+            "spark",
+            synth,
+            k=10,
+            candidate_multiplier=10,
+            reference_time=datetime.datetime(
+                2024, 4, 1, tzinfo=datetime.timezone.utc
+            ),
+        )
+
     def incremental_upsert_search(spark, sf):
         """S6/W6 through the driver contract (round-2 VERDICT #7):
         build a main index over docs 0-59, then in one micro-batch
@@ -634,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     return {
+        "search_rescored_blend": search_rescored_blend,
         "incremental_upsert_search": incremental_upsert_search,
         "q1_term_bm25": q1_term,
         "q13_routed_wildcard": q13_routed_wildcard,
@@ -1085,4 +1148,84 @@ FROM scored ORDER BY round(score, 4) DESC, url
     sql["q3_or_bootstrap_bm25"] = _sql_bm25(
         "p.term IN ('batch', 'dup')", limit=6
     )
+
+    # multi-factor blend twin: recompute the six factors + the 0.6/0.4
+    # GetScore composition in SQL over the same synthesized url/warc_ts
+    # (deterministic from doc_id; vocab shared via _RESCORE_*). The
+    # general factor formulas reduce EXACTLY to the CASE ladders below
+    # for this fixture shape (single-directory paths, depth 2, query
+    # 'spark' matching no file-type context): e.g. directory weights
+    # >= 0.5 can never lower the greatest()-folded path score from its
+    # 1.0 seed, so only the <0.5 multiplicative dirs appear.
+    import math as _math
+
+    _lam = _math.log(2) / 7.0  # same python double the Spark side F.lit()s
+    _dirs_sql = "[" + ", ".join(f"'{d}'" for d in _RESCORE_DIRS) + "]"
+    _stems_sql = "[" + ", ".join(f"'{s}'" for s in _RESCORE_STEMS) + "]"
+    _exts_sql = "[" + ", ".join(f"'{e}'" for e in _RESCORE_EXTS) + "]"
+    sql["search_rescored_blend"] = rf"""
+WITH {_SQL_TOK},
+base AS (
+  SELECT p.doc_id,
+         round( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+                * p.tf * ({K1} + 1)
+                / (p.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl)), 4) AS base
+  FROM post p JOIN dfreq f USING (term)
+  JOIN dl d ON p.doc_id = d.doc_id CROSS JOIN stats s
+  WHERE p.term = 'spark'
+  ORDER BY base DESC, p.doc_id
+  LIMIT 100
+),
+synth AS (
+  SELECT b.doc_id, b.base, d.text,
+         ({_dirs_sql})[(b.doc_id % 6) + 1] AS dir,
+         ({_stems_sql})[((b.doc_id // 6) % 6) + 1] AS stem,
+         ({_exts_sql})[((b.doc_id // 36) % 6) + 1] AS ext,
+         (b.doc_id % 40) - 5 AS age_days
+  FROM base b JOIN documents d USING (doc_id)
+),
+fx AS (
+  SELECT doc_id, base, dir, stem, ext, age_days,
+         len(regexp_extract_all(text, '(?i)\bspark\b')) AS m,
+         len(regexp_extract_all(stem || ext, '(?i)\bspark\b')) > 0 AS fm,
+         exp(-({_lam!r}) * age_days) AS s0
+  FROM synth
+),
+fac AS (
+  SELECT doc_id, base,
+    CASE WHEN m > 0 AND fm
+         THEN least(1.0, least(1.0, log10(m + 1.0)) + 0.3)
+         WHEN m > 0 THEN least(1.0, log10(m + 1.0))
+         ELSE 0.0 END AS f1,
+    CASE WHEN dir = 'node_modules' THEN 0.1
+         ELSE least(1.0, greatest(0.05,
+           (CASE WHEN dir = 'tests' THEN 0.15 ELSE 1.0 END)
+           * (CASE dir WHEN 'tests' THEN 0.4 WHEN 'docs' THEN 0.2
+                       WHEN 'node_modules' THEN 0.1 WHEN 'examples' THEN 0.3
+                       ELSE 1.0 END)
+           * (CASE WHEN stem = 'sparkservice' AND ext = '.cs'
+                   THEN 1.2 ELSE 1.0 END))) END AS f2,
+    CASE WHEN stem = 'spark' THEN 1.0
+         WHEN stem LIKE 'spark%' THEN least(1.0, 0.8 + 0.2)
+         WHEN stem LIKE '%spark%' THEN 0.8
+         ELSE 0.0 END AS f3,
+    CASE ext WHEN '.py' THEN 1.0 WHEN '.md' THEN 0.4 WHEN '.json' THEN 0.6
+             WHEN '.cs' THEN 1.0 WHEN '.dll' THEN 0.1 ELSE 0.5 END AS f4,
+    CASE WHEN age_days < 0 THEN 0.5
+         ELSE greatest(0.1, least(1.0,
+           CASE WHEN ext IN ('.md', '.json') THEN s0 + (1.0 - s0) * 0.3
+                WHEN ext = '.dll' THEN s0 * 0.5
+                WHEN age_days < 1 THEN least(1.0, s0 * 1.2)
+                ELSE s0 END)) END AS f5,
+    0.5 AS f6
+  FROM fx
+)
+SELECT doc_id,
+       round(0.6 * base
+             + 0.4 * ((f1 * 1.0 + f2 * 0.7 + f3 * 0.8 + f4 * 0.4
+                       + f5 * 0.3 + f6 * 0.3) / 3.5), 4) AS score
+FROM fac
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
     return sql

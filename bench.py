@@ -122,6 +122,55 @@ def main() -> None:
 
     timed("q16_knn", knn)
 
+    # --- incremental (NRT) tier: init + micro-batch MERGE + queries
+    # through DeltaIndexManager (main + delta + tombstones + hidden-df
+    # corrections). Establishes the baseline the decode-free/WAND live
+    # tier must hold (round-3 VERDICT #4). ---
+    import datetime
+
+    from coa_codesearch_mcp_spark.streaming.incremental import (
+        DeltaIndexManager,
+        _url_doc_id,
+    )
+
+    inc_root = "/tmp/spark_graft_bench_inc"
+    shutil.rmtree(inc_root, ignore_errors=True)
+    inc_cfg = IndexConfig(
+        field="content_patterns",
+        n_buckets=16,
+        range_size=1 << 58,      # hashed url ids: 16 scatter ranges
+        chunk_size=1 << 58,
+        chunks_per_wave=32,
+        salt_threshold=max(n_docs // 4, 1000),
+    )
+    inc_docs = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    ).withColumn("doc_id", _url_doc_id())
+    mgr = DeltaIndexManager(spark, inc_root, inc_cfg)
+    timed("inc_init_main", lambda: mgr.init_main(inc_docs))
+
+    ts = datetime.datetime(2024, 4, 1)
+    batch_rows = (
+        [(f"doc://{i}", "upsert", f"updated copy number {i} spark stream", ts, ts)
+         for i in range(0, 40)]
+        + [(f"doc://{i}", "delete", None, None, ts) for i in range(40, 50)]
+        + [(f"doc://new{i}", "upsert", f"fresh page {i} about fast key lookups", ts, ts)
+           for i in range(10)]
+    )
+    batch = spark.createDataFrame(
+        batch_rows,
+        "url string, op string, text string, warc_ts timestamp, event_ts timestamp",
+    )
+    timed("inc_apply_batch", lambda: mgr.apply_batch(batch))
+    timed("inc_q3_or", lambda: mgr.search_or(["spark", "stream"], k=10).collect())
+    timed("inc_q2_and", lambda: mgr.search_and(["spark", "stream"], k=10).collect())
+    timed(
+        "inc_q5_phrase",
+        lambda: mgr.search_phrase(["fast", "key"], k=10).collect(),
+    )
+    inc_hits, inc_stats = mgr.wand_stats(["spark", "stream"], k=10)
+
     # WAND pruning evidence (not a timing — decode counters over the
     # store index for a stopword-ish OR query, per doc range)
     from coa_codesearch_mcp_spark.query.wand import WandStats, wand_topk
@@ -161,6 +210,9 @@ def main() -> None:
                 "wand_blocks_total": stats.blocks_total,
                 "wand_blocks_decoded": stats.blocks_decoded,
                 "wand_docs_scored": stats.docs_scored,
+                "inc_wand_blocks_total": inc_stats.blocks_total,
+                "inc_wand_blocks_decoded": inc_stats.blocks_decoded,
+                "inc_wand_docs_scored": inc_stats.docs_scored,
             }
         )
     )

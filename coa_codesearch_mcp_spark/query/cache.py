@@ -11,10 +11,12 @@ Scale notes: the cache lives on the DRIVER and stores only collected
 top-k rows (k <= ~100 per entry), so memory is bounded by
 max_entries * k — it never holds DataFrames, plans, or executor-side
 state. A cache hit rebuilds the result as a SQL VALUES local relation,
-which Spark collects driver-side with ZERO jobs launched. TTL-based
-expiry (not index-snapshot invalidation) matches the reference's
-behavior; an index rebuild within the TTL can serve stale hits for up
-to ttl_seconds, exactly as the reference does.
+which Spark collects driver-side with ZERO jobs launched. Expiry is
+TTL-based like the reference's, PLUS snapshot-consistent: the engine
+folds the searcher's snapshot token (store manifest mtime) into every
+key, so an index commit orphans pre-rebuild entries immediately — a
+deliberate improvement over the reference, which can serve up to
+ttl_seconds of stale hits after a rebuild (documented divergence).
 """
 
 from __future__ import annotations

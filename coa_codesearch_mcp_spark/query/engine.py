@@ -88,6 +88,16 @@ class TextSearchEngine:
             return ix.postings.sparkSession
         return None
 
+    def _snapshot_token(self, searcher) -> object:
+        """Snapshot identity folded into cache keys: store-backed
+        searchers expose manifest mtime (one stat, zero jobs), so an
+        index commit invalidates hits for free instead of serving up
+        to ttl_seconds of pre-rebuild answers; logical searchers wrap
+        an immutable in-memory index, where None (no versioning) is
+        exact."""
+        fn = getattr(searcher, "snapshot_token", None)
+        return fn() if fn is not None else None
+
     def _run_cached(self, key: tuple, run, state: dict | None = None) -> tuple[DataFrame, bool]:
         """run() -> lazy hits DataFrame. Returns (hits, from_cache).
         On a miss the result is materialized once (it is top-k small
@@ -133,7 +143,7 @@ class TextSearchEngine:
         }
         if m in explicit:
             kind = explicit[m]
-            key = (query, FIELD_CONTENT, kind, k)
+            key = (query, FIELD_CONTENT, kind, k, self._snapshot_token(content))
             hits, hit = self._run_cached(
                 key,
                 lambda: content.execute(build_query(query, kind, FIELD_CONTENT), k),
@@ -148,7 +158,10 @@ class TextSearchEngine:
                 content._empty(), plan, "standard", error=err
             )
         field = plan.target_field if plan.target_field in self.searchers else FIELD_CONTENT
-        key = (plan.processed_query, field, "standard", k)
+        key = (
+            plan.processed_query, field, "standard", k,
+            self._snapshot_token(self.searchers[field]),
+        )
         state = {"fallback": False}
 
         def run() -> DataFrame:

@@ -38,6 +38,22 @@ class StoreSearcher:
     def __init__(self, reader: IndexReader):
         self.reader = reader
 
+    def snapshot_token(self):
+        """Cheap identity of the on-disk snapshot (manifest mtime_ns;
+        one stat, zero jobs). The engine's query cache folds this into
+        its keys so a hit is always snapshot-consistent: the reference
+        serves TTL-stale hits after a rebuild (QueryCacheService.cs
+        sliding expiration), which at 10^12 docs means up to 15 min of
+        wrong answers after every index commit."""
+        import os
+
+        try:
+            return os.stat(
+                os.path.join(self.reader.root, "manifest.json")
+            ).st_mtime_ns
+        except OSError:
+            return None
+
     # ------------------------------------------------------ core path
 
     def _wand_search(
@@ -77,18 +93,20 @@ class StoreSearcher:
                     banned.update(int(d) for d in doc_ids)
                 else:
                     term_blocks[term] = (idfs[term], rows)
-            # WAND needs k + |banned-overlap| slack; simplest exact
-            # approach: fetch k + len(banned) then filter
-            slack_k = kk + len(banned)
+            # NOT-exclusion via the banned predicate: excluded docs are
+            # skipped at pivot evaluation, so the heap holds exactly k
+            # and the threshold tightens as if the banned docs did not
+            # exist (the previous k+len(banned) over-fetch weakened
+            # pruning proportionally to the excluded doc count)
             hits = wand_topk(
                 term_blocks,
                 avgdl,
-                slack_k,
+                kk,
                 mode=mode,
                 threshold0=theta0,
                 n_required=n_required,
+                banned=banned.__contains__ if banned else None,
             )
-            hits = [(d, s) for d, s in hits if d not in banned][:kk]
             return pd.DataFrame(hits, columns=["doc_id", "score"])
 
         local = (
@@ -266,3 +284,165 @@ class StoreSearcher:
 
     def _empty(self) -> DataFrame:
         return self.reader.spark.createDataFrame([], _RESULT_SCHEMA)
+
+    # ------------------------------------------------- facade contract
+
+    # "all matches" k for full clause relations (comfortably above any
+    # posting list; the scatter's local heaps stay bounded by the
+    # actual per-range match counts)
+    _ALL = 2_000_000_000
+
+    def execute(self, q, k: int = 10) -> DataFrame:
+        """Evaluate a planner AST — the same contract the logical
+        Searcher exposes, so TextSearchEngine (routing, fallback,
+        cache) runs over the MATERIALIZED index too. Round-4 addition:
+        previously only the logical path satisfied the facade, so the
+        engine could never front a store-backed index."""
+        from .ast import BoolQ, FuzzyQ, MatchAllQ, PhraseQ, RegexpQ, TermQ, WildcardQ
+
+        if isinstance(q, TermQ):
+            return self.search_term(q.term, k)
+        if isinstance(q, PhraseQ):
+            return self.search_phrase(q.terms, k, slop=q.slop)
+        if isinstance(q, WildcardQ):
+            return self.search_wildcard(q.pattern, k)
+        if isinstance(q, FuzzyQ):
+            return self.search_fuzzy(q.term, k, q.max_edits)
+        if isinstance(q, RegexpQ):
+            return self.search_regexp(q.pattern, k)
+        if isinstance(q, MatchAllQ):
+            import os
+
+            dl = self.reader.spark.read.parquet(
+                os.path.join(self.reader.root, "doclens")
+            )
+            return (
+                dl.select("doc_id", F.lit(1.0).alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+            )
+        if isinstance(q, BoolQ):
+            return self._execute_bool(q, k)
+        raise TypeError(f"unknown query node {type(q)}")
+
+    def _flat_terms(self, clauses) -> list[str] | None:
+        from .ast import TermQ
+
+        if all(isinstance(c, TermQ) for c in clauses):
+            return [c.term for c in clauses]
+        return None
+
+    def _execute_bool(self, q, k: int) -> DataFrame:
+        """Flat boolean over the store. The planner's common shapes
+        (AND of terms, one OR group, single phrase/expansion, NOT of
+        terms) run as single WAND scatters — identical scoring to the
+        logical engine. Mixed multi-clause musts compose per-clause
+        relations exactly like Searcher._execute_bool; clause scores
+        are 4dp-rounded by the WAND contract before summing (documented
+        <=1e-4/clause divergence from the logical path's raw-sum —
+        flat shapes, which every driver oracle uses, are unaffected)."""
+        from .ast import BoolQ, TermQ
+
+        not_terms = self._flat_terms(q.must_not)
+        must_terms = self._flat_terms(q.must) if q.must else None
+        should_terms = self._flat_terms(q.should) if q.should else None
+
+        if not_terms is not None:
+            if q.must and must_terms is not None and not q.should:
+                if len(q.must) == 1:
+                    # single term: OR == AND, but exclusion must apply
+                    return self.search_or(must_terms, k, exclude=not_terms)
+                return self.search_and(must_terms, k, exclude=not_terms)
+            if q.should and should_terms is not None and not q.must:
+                return self.search_or(should_terms, k, exclude=not_terms)
+            if (
+                len(q.must) == 1
+                and not q.should
+                and isinstance(q.must[0], BoolQ)
+                and not q.must[0].must
+                and not q.must[0].must_not
+            ):
+                inner = self._flat_terms(q.must[0].should)
+                if inner is not None:
+                    return self.search_or(inner, k, exclude=not_terms)
+        if len(q.must) == 1 and not q.should and not q.must_not:
+            return self.execute(q.must[0], k)
+
+        # general composition (mirrors Searcher._execute_bool)
+        parts = []
+        for i, clause in enumerate(q.must):
+            parts.append(
+                self._clause_relation(clause).select(
+                    "doc_id", "contrib", F.lit(i).alias("clause"),
+                    F.lit(True).alias("is_must"),
+                )
+            )
+        for j, clause in enumerate(q.should):
+            parts.append(
+                self._clause_relation(clause).select(
+                    "doc_id", "contrib", F.lit(1000 + j).alias("clause"),
+                    F.lit(False).alias("is_must"),
+                )
+            )
+        if not parts:
+            return self._empty()
+        allc = parts[0]
+        for p in parts[1:]:
+            allc = allc.unionByName(p)
+        agg = allc.groupBy("doc_id").agg(
+            F.sum("contrib").alias("score"),
+            F.count_distinct(
+                F.when(F.col("is_must"), F.col("clause"))
+            ).alias("n_must"),
+        )
+        if q.must:
+            agg = agg.filter(F.col("n_must") == len(q.must))
+        out = agg.select("doc_id", "score")
+        if q.must_not:
+            banned = None
+            for clause in q.must_not:
+                b = self._clause_relation(clause).select("doc_id")
+                banned = b if banned is None else banned.unionByName(b)
+            out = out.join(banned.distinct(), "doc_id", "left_anti")
+        return (
+            out.select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def _clause_relation(self, q) -> DataFrame:
+        """FULL (doc_id, contrib) relation for one flat clause."""
+        from .ast import BoolQ, FuzzyQ, PhraseQ, RegexpQ, TermQ, WildcardQ
+        from .expansion import (
+            fuzzy_predicate,
+            regexp_predicate,
+            wildcard_predicate,
+        )
+
+        def scores(df: DataFrame) -> DataFrame:
+            return df.select("doc_id", F.col("score").alias("contrib"))
+
+        if isinstance(q, TermQ):
+            return scores(self._wand_search([q.term], self._ALL, "or"))
+        if isinstance(q, BoolQ) and q.should and not q.must and not q.must_not:
+            terms = self._flat_terms(q.should)
+            if terms is not None:
+                return scores(self._wand_search(terms, self._ALL, "or"))
+        if isinstance(q, WildcardQ):
+            terms = self._expand(wildcard_predicate(q.pattern))
+            return scores(
+                self._wand_search(terms, self._ALL, "or") if terms else self._empty()
+            )
+        if isinstance(q, FuzzyQ):
+            terms = self._expand(fuzzy_predicate(q.term, q.max_edits))
+            return scores(
+                self._wand_search(terms, self._ALL, "or") if terms else self._empty()
+            )
+        if isinstance(q, RegexpQ):
+            terms = self._expand(regexp_predicate(q.pattern))
+            return scores(
+                self._wand_search(terms, self._ALL, "or") if terms else self._empty()
+            )
+        if isinstance(q, PhraseQ):
+            return scores(self.search_phrase(q.terms, self._ALL, slop=q.slop))
+        raise TypeError(f"unsupported clause {type(q)}")

@@ -165,6 +165,7 @@ def wand_topk(
     threshold0: float = 0.0,
     stats: WandStats | None = None,
     n_required: int | None = None,
+    banned=None,
 ) -> list[tuple[int, float]]:
     """Top-k (doc_id, score) within one doc range.
 
@@ -175,6 +176,12 @@ def wand_topk(
     only carries the terms present in this range, so comparing against
     len(term_blocks) alone would wrongly answer AND(alpha, beta) with
     alpha-only docs in a range that never saw beta.
+    banned: optional predicate ``doc_id -> bool``; a banned doc is
+    skipped at pivot evaluation (never scored, never heaped), so the
+    returned top-k is exact over the non-banned set and the threshold
+    stays monotone — NOT-excluded docs and tombstone-hidden segment
+    copies use this instead of over-fetching k+|banned| and filtering
+    after (which weakened pruning proportionally to the banned count).
     """
     cursors = [
         TermCursor(idf=idf, blocks=blocks)
@@ -253,7 +260,9 @@ def wand_topk(
             ]
             if not matched:
                 continue
-            if mode == "and" and len(matched) < required:
+            if (mode == "and" and len(matched) < required) or (
+                banned is not None and banned(pivot_doc)
+            ):
                 for c in matched:
                     c.advance(avgdl)
                 continue

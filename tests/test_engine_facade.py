@@ -69,3 +69,55 @@ def test_too_short_query_rejected(engine3):
     res = engine3.search("ab", k=5)
     assert res.error is not None
     assert res.hits.collect() == []
+
+
+# ------------------------------------------- facade over the STORE path
+
+@pytest.fixture(scope="module")
+def store_engine(spark, documents, tmp_path_factory):
+    from coa_codesearch_mcp_spark.index.store import (
+        IndexConfig,
+        IndexReader,
+        IndexWriter,
+    )
+    from coa_codesearch_mcp_spark.query.store_executor import StoreSearcher
+
+    root = str(tmp_path_factory.mktemp("ix_facade_store"))
+    cfg = IndexConfig(
+        field="content", n_buckets=4, range_size=16, chunk_size=64,
+        chunks_per_wave=4, salt_threshold=40, max_salts=4,
+    )
+    IndexWriter(spark, root, cfg).build(documents)
+    return TextSearchEngine(
+        {"content": StoreSearcher(IndexReader(spark, root))}, use_cache=False,
+        cache=None,
+    )
+
+
+@pytest.mark.parametrize(
+    "query,mode",
+    [
+        ("fast key", "auto"),       # BoolQ(must=[TermQ, TermQ]) -> AND
+        ("spark", "auto"),          # TermQ (symbols field absent -> content)
+        ("fast key", "exact"),      # literal build
+        ("sparkk", "fuzzy"),
+        ("fast.*key", "regex"),     # slop-20 phrase rewrite
+        ("fast*", "auto"),          # wildcard
+    ],
+)
+def test_store_facade_matches_logical_facade(engine3, store_engine, query, mode):
+    """StoreSearcher.execute (round-4): the SAME planner AST through
+    the WAND store path must rank-match the logical facade. The
+    content-field logical engine is the arbiter; the store engine has
+    no symbols/patterns fields so explicitly-routed queries land on
+    content in both engines for these shapes."""
+    from coa_codesearch_mcp_spark.query.engine import TextSearchEngine as TSE
+
+    logical_content = TSE(
+        {"content": engine3.searchers["content"]}, use_cache=False, cache=None
+    )
+    got = [(r["doc_id"], r["score"])
+           for r in store_engine.search(query, mode=mode, k=8).hits.collect()]
+    want = [(r["doc_id"], r["score"])
+            for r in logical_content.search(query, mode=mode, k=8).hits.collect()]
+    assert got == want, (query, mode)

