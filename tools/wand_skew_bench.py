@@ -85,6 +85,22 @@ def main() -> None:
             .collect()
         )
     ]
+    # rarer band: df ~ n/800..n/300. Decode fraction for stopword x
+    # selective is governed by P(stopword block contains a selective
+    # doc) ~ 1 - exp(-df_sel * BLOCK/range): at df ~ 1% most 128-doc
+    # blocks hold one (skip bounded ~30%); at df ~ 0.2% whole runs of
+    # stopword blocks are jumped — both shapes are committed evidence
+    rare = [
+        r["term"]
+        for r in (
+            d.filter(
+                (F.col("df") >= n_docs // 800) & (F.col("df") <= n_docs // 300)
+            )
+            .orderBy("df")
+            .limit(1)
+            .collect()
+        )
+    ]
 
     def run(terms):
         blocks, info = reader.postings_blocks(terms)
@@ -176,6 +192,7 @@ def main() -> None:
         "k": k,
         "all_stopwords": run(top),
         "stopword_x_selective": run(top[:1] + sel[:1]),
+        "stopword_x_rare": run(top[:1] + rare[:1]) if rare else None,
         "selective_pair": run(sel),
     }
     print(json.dumps(out))
