@@ -97,6 +97,64 @@ def _store_searcher(
     return _INDEX_CACHE[key]
 
 
+def _inc_state(spark: SparkSession, sf: str):
+    """Shared live-tier fixture for the incremental oracles: main
+    index over docs 0-59, then one micro-batch (upsert doc 7 to
+    INC_NEW_TEXT_7, delete doc 13, add doc://new1). Returns
+    (manager, url<->doc_id mapping over LIVE urls, base docs df)."""
+    import datetime
+    import tempfile
+
+    from coa_codesearch_mcp_spark.index.store import IndexConfig
+    from coa_codesearch_mcp_spark.streaming.incremental import (
+        DeltaIndexManager,
+        _url_doc_id,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .filter(F.col("doc_id") < 60)
+        .select(
+            F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+            "text",
+        )
+    )
+    key = ("inc", sf)
+    if key not in _INDEX_CACHE:
+        root = tempfile.mkdtemp(prefix="spark_graft_inc_")
+        cfg = IndexConfig(
+            field="content_patterns",
+            n_buckets=4,
+            range_size=1 << 58,
+            chunk_size=1 << 58,
+            chunks_per_wave=32,
+            salt_threshold=10_000,
+        )
+        mgr = DeltaIndexManager(spark, root, cfg)
+        mgr.init_main(docs.withColumn("doc_id", _url_doc_id()))
+        ts = datetime.datetime(2024, 4, 1)
+        changes = spark.createDataFrame(
+            [
+                ("doc://7", "upsert", INC_NEW_TEXT_7, ts, ts),
+                ("doc://13", "delete", None, None, ts),
+                ("doc://new1", "upsert", INC_NEW_DOC_TEXT, ts, ts),
+            ],
+            "url string, op string, text string, warc_ts timestamp, event_ts timestamp",
+        )
+        mgr.apply_batch(changes)
+        _INDEX_CACHE[key] = mgr
+    mgr = _INDEX_CACHE[key]
+    live_urls = (
+        docs.filter(~F.col("url").isin("doc://7", "doc://13"))
+        .select("url")
+        .unionByName(
+            spark.createDataFrame([("doc://7",), ("doc://new1",)], "url string")
+        )
+    )
+    mapping = live_urls.withColumn("doc_id", _url_doc_id())
+    return mgr, mapping, docs
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     sf_dir = "/root/testdata/sf0.001"
@@ -446,6 +504,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(25)
         )
 
+    def q12_exact_mode_store(spark, sf):
+        """Round-4 StoreSearcher.execute facade contract through the
+        driver gate: the SAME literal-mode plan (AND of terms) runs
+        over the MATERIALIZED index (block-max WAND scatter) instead
+        of the logical engine; shares q12's whitespace SQL oracle."""
+        from coa_codesearch_mcp_spark.query.engine import TextSearchEngine
+
+        eng = TextSearchEngine(
+            {"content": _store_searcher(spark, sf, "content")}
+        )
+        return eng.search("fast key", mode="exact", k=10).hits
+
+    def q13_routed_wildcard_store(spark, sf):
+        """Smart routing + wildcard expansion + tiered fallback with
+        BOTH fields backed by store indexes (WAND path end-to-end)."""
+        from coa_codesearch_mcp_spark.query.engine import TextSearchEngine
+
+        eng = TextSearchEngine(
+            {
+                "content": _store_searcher(spark, sf, "content"),
+                "content_patterns": _store_searcher(spark, sf, "content_patterns"),
+            }
+        )
+        return eng.search("fast*", k=10).hits
+
     def q13_routed_wildcard(spark, sf):
         # full facade: auto routing ('fast*' -> pattern mode ->
         # content_patterns) + wildcard expansion + BM25 top-k
@@ -632,63 +715,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         LIVE corpus; results are url-keyed because streamed doc ids
         are xxhash64(url), which DuckDB cannot compute. k=all matches
         so tie cutoffs cannot differ between orderings."""
-        import tempfile
-
-        from coa_codesearch_mcp_spark.index.store import IndexConfig
-        from coa_codesearch_mcp_spark.streaming.incremental import (
-            DeltaIndexManager,
-            _url_doc_id,
-        )
-
-        docs = (
-            spark.read.parquet(f"{sf}/documents.parquet")
-            .filter(F.col("doc_id") < 60)
-            .select(
-                F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
-                "text",
-            )
-        )
+        mgr, mapping, docs = _inc_state(spark, sf)
         probe = docs.filter(F.col("url") == "doc://7").select(
             F.split(F.lower("text"), r"\s+")[0].alias("t")
         ).first()["t"]
-
-        key = ("inc", sf)
-        if key not in _INDEX_CACHE:
-            import datetime
-
-            root = tempfile.mkdtemp(prefix="spark_graft_inc_")
-            cfg = IndexConfig(
-                field="content_patterns",
-                n_buckets=4,
-                range_size=1 << 58,
-                chunk_size=1 << 58,
-                chunks_per_wave=32,
-                salt_threshold=10_000,
-            )
-            mgr = DeltaIndexManager(spark, root, cfg)
-            mgr.init_main(docs.withColumn("doc_id", _url_doc_id()))
-            ts = datetime.datetime(2024, 4, 1)
-            changes = spark.createDataFrame(
-                [
-                    ("doc://7", "upsert", INC_NEW_TEXT_7, ts, ts),
-                    ("doc://13", "delete", None, None, ts),
-                    ("doc://new1", "upsert", INC_NEW_DOC_TEXT, ts, ts),
-                ],
-                "url string, op string, text string, warc_ts timestamp, event_ts timestamp",
-            )
-            mgr.apply_batch(changes)
-            _INDEX_CACHE[key] = mgr
-        mgr = _INDEX_CACHE[key]
-
         hits = mgr.search_or([probe], k=100)
-        live_urls = (
-            docs.filter(~F.col("url").isin("doc://7", "doc://13"))
-            .select("url")
-            .unionByName(
-                spark.createDataFrame([("doc://7",), ("doc://new1",)], "url string")
-            )
+        return (
+            hits.join(mapping, "doc_id")
+            .select("url", "score")
+            .orderBy(F.desc("score"), F.asc("url"))
         )
-        mapping = live_urls.withColumn("doc_id", _url_doc_id())
+
+    def incremental_phrase_search(spark, sf):
+        """Positional phrase over the LIVE tier (main + delta +
+        tombstones + hidden-df corrections): the phrase lives only in
+        the UPSERTED text of doc 7, so hitting it proves delta-segment
+        positions, tombstone visibility and live phrase-df/N/avgdl all
+        compose; the SQL twin recomputes the phrase BM25 over the
+        equivalent live corpus."""
+        mgr, mapping, _ = _inc_state(spark, sf)
+        hits = mgr.search_phrase(["pear", "plum", "quince"], k=100)
         return (
             hits.join(mapping, "doc_id")
             .select("url", "score")
@@ -698,9 +744,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "search_rescored_blend": search_rescored_blend,
         "incremental_upsert_search": incremental_upsert_search,
+        "incremental_phrase_search": incremental_phrase_search,
         "q1_term_bm25": q1_term,
         "q13_routed_wildcard": q13_routed_wildcard,
         "q12_exact_mode": q12_exact_mode,
+        "q12_exact_mode_store": q12_exact_mode_store,
+        "q13_routed_wildcard_store": q13_routed_wildcard_store,
         "q1_term_bm25_wand": q1_term_wand,
         "q2_and_bm25_wand": q2_and_wand,
         "q3_or_bm25_wand": q3_or_wand,
@@ -1145,6 +1194,47 @@ FROM scored ORDER BY round(score, 4) DESC, url
 """
     sql["q2_and_bm25_wand_multirange"] = sql["q2_and_bm25"]
     sql["q4_not_bm25_wand_multirange"] = sql["q4_not_bm25"]
+    # store-facade twins run the SAME plans over the WAND path — the
+    # logical oracles are their spec
+    sql["q12_exact_mode_store"] = sql["q12_exact_mode"]
+    sql["q13_routed_wildcard_store"] = sql["q13_routed_wildcard"]
+
+    # incremental phrase twin: positional phrase BM25 over the LIVE
+    # corpus after the same change batch (phrase exists only in the
+    # upserted doc 7 text)
+    sql["incremental_phrase_search"] = f"""
+WITH live AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text
+  FROM documents WHERE doc_id < 60 AND doc_id NOT IN (7, 13)
+  UNION ALL SELECT 'doc://7', '{INC_NEW_TEXT_7}'
+  UNION ALL SELECT 'doc://new1', '{INC_NEW_DOC_TEXT}'
+),
+tokordered AS (
+  SELECT url,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS term,
+         generate_subscripts(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> ''), 1) - 1 AS pos
+  FROM live
+),
+dl AS (SELECT url, count(*) AS dl FROM tokordered GROUP BY url),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+starts AS (
+  SELECT a.url, count(*) AS phrase_tf
+  FROM tokordered a
+  JOIN tokordered b ON a.url = b.url AND b.pos = a.pos + 1
+  JOIN tokordered c ON a.url = c.url AND c.pos = a.pos + 2
+  WHERE a.term = 'pear' AND b.term = 'plum' AND c.term = 'quince'
+  GROUP BY a.url
+),
+pdf AS (SELECT greatest(count(*), 1) AS df FROM starts)
+SELECT st.url,
+       round( ln(1 + (s.n - pdf.df + 0.5) / (pdf.df + 0.5))
+              * st.phrase_tf * ({K1} + 1)
+              / (st.phrase_tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl)), 4) AS score
+FROM starts st
+JOIN dl d ON st.url = d.url
+CROSS JOIN stats s CROSS JOIN pdf
+ORDER BY score DESC, st.url
+"""
     sql["q3_or_bootstrap_bm25"] = _sql_bm25(
         "p.term IN ('batch', 'dup')", limit=6
     )

@@ -392,30 +392,67 @@ class DeltaIndexManager:
         """Persist what this batch hides: per-(term, segment) lost-df
         rows and per-segment (hidden_docs, hidden_dl) totals.
 
-        Bounded by the batch: each changed doc has at most one visible
-        old copy (every prior upsert tombstoned the ones before it), so
-        the scan reads only the batch docs' stored token rows — the ids
-        are pushed down as a literal IN filter, so parquet row-group
-        min/max stats prune the segments' token tables (at production
-        scale: an Iceberg bloom filter / sorted layout on doc_id).
-        Crash-safe like tombstones: rows carry issued_delta and only
-        count once that delta commits; a retry rewrites value-identical
-        rows, deduplicated by max() per (key, issued_delta)."""
+        Two sources, both bounded by the batch:
+        - each changed doc's single previously-VISIBLE copy (every
+          prior upsert tombstoned the ones before it) becomes hidden —
+          the scan reads only the batch docs' stored token rows, ids
+          pushed down as a literal IN filter so parquet row-group
+          min/max stats prune the segments' token tables (production:
+          Iceberg bloom filter / sorted layout on doc_id);
+        - BORN-HIDDEN own copies: a parked batch replayed after a
+          NEWER delta already committed a tombstone for the same url
+          loses last-writer-wins on arrival — its own delta-segment
+          copy is hidden from birth yet counted by its dictionary, so
+          this batch accounts it itself (reading its own delta's
+          token store).
+
+        Idempotent replay: rows land in an issued_delta=NNNNNN
+        partition directory written with OVERWRITE, so a retry
+        REPLACES any earlier attempt's rows rather than appending —
+        necessary because corrections are computed from the committed
+        visibility state, which other writers may have advanced
+        between attempts (append + dedup would keep a stale first-
+        attempt row that disagrees with the recomputation). Rows only
+        count once their delta commits (partition-pruned isin), same
+        crash protocol as tombstones."""
         segs = self.segments()
-        if not segs:
-            return
         ids = [int(r["doc_id"]) for r in latest.select("doc_id").collect()]
         if not ids:
             return
-        tomb_map = {
-            r["doc_id"]: r["upto_seg"]
-            for r in self.tombstones().filter(F.col("doc_id").isin(ids)).collect()
-        }
+        tomb_path = self._tombstone_path()
+        committed = self._delta_ids()
+        tomb_map: dict[int, int] = {}
+        last_issued: dict[int, int] = {}
+        if committed and os.path.exists(tomb_path):
+            raw = (
+                self.spark.read.parquet(tomb_path)
+                .filter(
+                    F.col("doc_id").isin(ids)
+                    & F.col("issued_delta").isin(committed)
+                )
+                .collect()
+            )
+            best: dict[int, tuple[int, int]] = {}
+            for r in raw:
+                d = int(r["doc_id"])
+                key = (int(r["issued_delta"]), int(r["upto_seg"]))
+                if d not in best or key[0] > best[d][0]:
+                    best[d] = key
+            tomb_map = {d: upto for d, (_, upto) in best.items()}
+            last_issued = {d: iss for d, (iss, _) in best.items()}
+
+        # docs whose fate is governed by a NEWER committed delta: this
+        # batch's tombstone loses last-writer-wins on arrival, so it
+        # hides NOTHING that is currently visible (a replayed old
+        # delete/upsert must not count the newer winner's copy as
+        # hidden) — such docs take only the born-hidden path below
+        superseded = {d for d in ids if last_issued.get(d, -1) > delta_id}
         per_seg = []
         for seg_id, r in segs:
             vis_ids = [
                 d for d in ids
-                if tomb_map.get(d) is None or tomb_map[d] <= seg_id
+                if d not in superseded
+                and (tomb_map.get(d) is None or tomb_map[d] <= seg_id)
             ]
             if not vis_ids:
                 continue
@@ -430,7 +467,28 @@ class DeltaIndexManager:
                 )
             )
             per_seg.append(toks)
+
+        born_hidden = sorted(superseded)
+        own_root = os.path.join(self._delta_root(delta_id), "tokens")
+        if born_hidden and os.path.exists(own_root):
+            per_seg.append(
+                self.spark.read.parquet(own_root)
+                .filter(F.col("doc_id").isin(born_hidden))
+                .select(
+                    F.lit(delta_id).cast("long").alias("seg_id"),
+                    "doc_id",
+                    "dl",
+                    "tokens",
+                )
+            )
+        part = f"issued_delta={delta_id:06d}"
         if not per_seg:
+            # an earlier attempt may have written rows under a now-
+            # different visibility state: replace with nothing
+            import shutil
+
+            for base in (self._hidden_df_path(), self._hidden_stats_path()):
+                shutil.rmtree(os.path.join(base, part), ignore_errors=True)
             return
         vis = per_seg[0]
         for t in per_seg[1:]:
@@ -441,14 +499,9 @@ class DeltaIndexManager:
                 vis.select("seg_id", F.explode("tokens").alias("tok"))
                 .groupBy("seg_id", F.col("tok.term").alias("term"))
                 .agg(F.count(F.lit(1)).alias("hidden"))
-                .select(
-                    "term",
-                    "seg_id",
-                    "hidden",
-                    F.lit(delta_id).cast("long").alias("issued_delta"),
-                )
-                .write.mode("append")
-                .parquet(self._hidden_df_path())
+                .select("term", "seg_id", "hidden")
+                .write.mode("overwrite")
+                .parquet(os.path.join(self._hidden_df_path(), part))
             )
             (
                 vis.groupBy("seg_id")
@@ -456,23 +509,20 @@ class DeltaIndexManager:
                     F.count(F.lit(1)).alias("hidden_docs"),
                     F.sum("dl").alias("hidden_dl"),
                 )
-                .select(
-                    "seg_id",
-                    "hidden_docs",
-                    "hidden_dl",
-                    F.lit(delta_id).cast("long").alias("issued_delta"),
-                )
-                .write.mode("append")
-                .parquet(self._hidden_stats_path())
+                .select("seg_id", "hidden_docs", "hidden_dl")
+                .write.mode("overwrite")
+                .parquet(os.path.join(self._hidden_stats_path(), part))
             )
         finally:
             vis.unpersist()
 
     def _hidden_df_map(self, terms: list[str]) -> dict[tuple[str, int], int]:
         """(term, seg_id) -> docs of ``term`` hidden in that segment,
-        summed over COMMITTED deltas (dedup by max per issued_delta —
-        retries rewrite identical rows). One tiny parquet read pruned
-        to the query terms; no posting decode."""
+        summed over COMMITTED deltas. issued_delta is the partition
+        directory (one OVERWRITTEN dir per delta — exactly one row set
+        per commit), so the committed-set filter is partition pruning.
+        One tiny parquet read pruned to the query terms; no posting
+        decode."""
         path = self._hidden_df_path()
         committed = self._delta_ids()
         if not terms or not committed or not os.path.exists(path):
@@ -482,32 +532,40 @@ class DeltaIndexManager:
             .filter(
                 F.col("term").isin(terms) & F.col("issued_delta").isin(committed)
             )
-            .groupBy("term", "seg_id", "issued_delta")
-            .agg(F.max("hidden").alias("h"))
             .groupBy("term", "seg_id")
-            .agg(F.sum("h").alias("hidden"))
+            .agg(F.sum("hidden").alias("hidden"))
             .collect()
         )
         return {(r["term"], int(r["seg_id"])): int(r["hidden"]) for r in rows}
 
     def _hidden_stats_totals(self) -> tuple[int, int]:
-        """(hidden_docs, hidden_dl) summed over committed deltas."""
+        """(hidden_docs, hidden_dl) summed over committed deltas.
+        Term-independent, fully determined by (epoch, committed delta
+        ids) — retries only rewrite value-identical rows — so the
+        driver caches it per snapshot: repeat queries against an
+        unchanged index skip the read entirely."""
         path = self._hidden_stats_path()
         committed = self._delta_ids()
         if not committed or not os.path.exists(path):
             return 0, 0
+        key = (int(self._active().get("epoch", 0)), tuple(committed))
+        cache = getattr(self, "_stats_cache", None)
+        if cache is None:
+            cache = self._stats_cache = {}
+        if key in cache:
+            return cache[key]
         row = (
             self.spark.read.parquet(path)
             .filter(F.col("issued_delta").isin(committed))
-            .groupBy("seg_id", "issued_delta")
             .agg(
-                F.max("hidden_docs").alias("d"),
-                F.max("hidden_dl").alias("l"),
+                F.sum("hidden_docs").alias("docs"),
+                F.sum("hidden_dl").alias("dl"),
             )
-            .agg(F.sum("d").alias("docs"), F.sum("l").alias("dl"))
             .first()
         )
-        return int(row["docs"] or 0), int(row["dl"] or 0)
+        out = int(row["docs"] or 0), int(row["dl"] or 0)
+        cache[key] = out
+        return out
 
     # -------------------------------------------------------- query
 

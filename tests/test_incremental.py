@@ -369,6 +369,57 @@ def test_live_tier_wand_prunes_blocks(spark, tmp_path):
     assert hits == dist
 
 
+def test_out_of_order_replay_keeps_df_exact(spark, mgr, tmp_path):
+    """A parked batch (older reserved delta id) replayed AFTER a newer
+    batch already upserted the same url: last-writer-wins must hold
+    AND scores must stay rebuild-exact. This is the corner where the
+    round-4 correction tables could drift — the replayed delta's own
+    copy is hidden from birth (no prior state ever shows it visible),
+    so the batch must account its own dictionary entries, and a failed
+    first attempt's correction rows must be REPLACED, not appended
+    (overwritten issued_delta partition)."""
+    url = "https://example.org/en/00000001.html"
+    # batch A reserved FIRST (older ordering key), then parked
+    a_id = mgr.reserve_delta_id()
+    # batch B applies normally under a newer id
+    mgr.apply_batch(
+        _changes(spark, [(url, "upsert", "gammamarker newer text wins", TS, TS)])
+    )
+    # replay A under its original id
+    mgr.apply_batch(
+        _changes(
+            spark,
+            [(url, "upsert", "replaymarker alphaword betaword", TS, TS)],
+        ),
+        delta_id=a_id,
+    )
+    # LWW: B's text is live, A's replayed copy is born-hidden
+    assert hits(mgr, ["replaymarker"]) == {}
+    assert len(hits(mgr, ["gammamarker"])) == 1
+
+    # scores (hence df / N / avgdl) exactly equal a fresh single-index
+    # build over the live corpus — the correction arithmetic absorbed
+    # both the failed ordering and the born-hidden copy
+    from coa_codesearch_mcp_spark.streaming.incremental import _url_doc_id
+
+    pdf = generate_webpages_pdf(40, seed=42)
+    live = spark.createDataFrame(pdf[["url", "text"]])
+    live = (
+        live.filter(F.col("url") != url)
+        .unionByName(
+            spark.createDataFrame(
+                [(url, "gammamarker newer text wins")], "url string, text string"
+            )
+        )
+        .withColumn("doc_id", _url_doc_id())
+    )
+    fresh = DeltaIndexManager(spark, str(tmp_path / "fresh_replay"), CFG)
+    fresh.init_main(live)
+    first_word = pdf["text"][0].split()[0].lower()
+    for probe in (["gammamarker"], ["newer", "text"], [first_word]):
+        assert hits(mgr, probe, k=40) == hits(fresh, probe, k=40), probe
+
+
 def test_merge_folds_deltas_committed_by_other_writer(spark, mgr, tmp_path):
     """A second writer commits a delta (and a delete) AFTER the first
     manager loaded its manifest; the first manager's merge_deltas must
