@@ -608,22 +608,47 @@ class DeltaIndexManager:
         the query can match nothing."""
         from ..query.bm25 import idf_py
 
+        from ..index.hashing import term_bucket
+
         n_docs, avgdl = self.combined_stats()
         segs = self.segments()
         if not segs or n_docs == 0:
             return None
 
+        # ONE dictionary job across all segments (round-4: the per-
+        # segment lookup_terms launched a tiny job per segment per
+        # query — main + up to max_deltas of them): each segment's
+        # bucket set is computed driver-side from the query terms
+        # (pure hash), the pruned reads are unioned and collected
+        # together. Posting-block DFs are lazy (no job here).
+        all_terms = sorted(set(terms + exclude))
+        dict_parts = []
         all_blocks = None
-        seg_df: dict[tuple[str, int], int] = {}
         for seg_id, r in segs:
-            blocks, info = r.postings_blocks(terms + exclude)
-            for t in terms:
-                if t in info:
-                    seg_df[(t, seg_id)] = int(info[t]["df"])
+            buckets = sorted({term_bucket(t, r.n_buckets) for t in all_terms})
+            dict_parts.append(
+                r.dictionary()
+                .filter(F.col("bucket").isin(buckets))
+                .filter(F.col("term").isin(all_terms))
+                .select(
+                    F.lit(seg_id).cast("long").alias("seg_id"), "term", "df"
+                )
+            )
+            blocks = (
+                self.spark.read.parquet(os.path.join(r.root, "postings"))
+                .filter(F.col("bucket").isin(buckets))
+                .filter(F.col("term").isin(all_terms))
+            )
             tagged = blocks.withColumn("seg_id", F.lit(seg_id))
             all_blocks = (
                 tagged if all_blocks is None else all_blocks.unionByName(tagged)
             )
+        dicts = dict_parts[0]
+        for p in dict_parts[1:]:
+            dicts = dicts.unionByName(p)
+        seg_df: dict[tuple[str, int], int] = {
+            (r["term"], int(r["seg_id"])): int(r["df"]) for r in dicts.collect()
+        }
 
         hidden = self._hidden_df_map(terms)
         idfs: dict[str, float] = {}
@@ -642,7 +667,7 @@ class DeltaIndexManager:
             "range_id",
             F.expr(f"CAST(doc_id DIV {self.cfg.range_size} AS LONG)"),
         )
-        return n_docs, avgdl, idfs, all_blocks, tomb_by_range
+        return n_docs, avgdl, idfs, seg_df, all_blocks, tomb_by_range
 
     def _search(
         self,
@@ -667,7 +692,7 @@ class DeltaIndexManager:
         ctx = self._query_context(terms, exclude)
         if ctx is None:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        n_docs, avgdl, idfs, all_blocks, tomb_by_range = ctx
+        n_docs, avgdl, idfs, _seg_df, all_blocks, tomb_by_range = ctx
         if not idfs or (mode == "and" and len(idfs) < len(terms)):
             return self.spark.createDataFrame([], "doc_id long, score double")
         kk = k
@@ -718,7 +743,7 @@ class DeltaIndexManager:
         ctx = self._query_context(terms, exclude)
         if ctx is None:
             return [], WandStats()
-        n_docs, avgdl, idfs, all_blocks, tomb_by_range = ctx
+        n_docs, avgdl, idfs, _seg_df, all_blocks, tomb_by_range = ctx
         if not idfs or (mode == "and" and len(idfs) < len(terms)):
             return [], WandStats()
         n_required = len(terms) if mode == "and" else None
@@ -755,28 +780,19 @@ class DeltaIndexManager:
         if len(terms) == 1:
             return self.search_or(terms, k)
         uniq = sorted(set(terms))
-        n_docs, avgdl = self.combined_stats()
-        segs = self.segments()
-        if not segs or n_docs == 0:
+        ctx = self._query_context(uniq, [])
+        if ctx is None:
             return self.spark.createDataFrame([], "doc_id long, score double")
-
-        all_blocks, present = None, set()
-        for seg_id, r in segs:
-            blocks, info = r.postings_blocks(uniq)
-            present |= set(info)
-            tagged = blocks.withColumn("seg_id", F.lit(seg_id))
-            all_blocks = (
-                tagged if all_blocks is None else all_blocks.unionByName(tagged)
-            )
+        n_docs, avgdl, _idfs, seg_df, all_blocks, tomb_by_range = ctx
+        # presence = dictionary presence in ANY segment (visibility is
+        # applied per candidate later; a term whose only copies are
+        # hidden simply yields no candidates)
+        present = {t for (t, _s) in seg_df}
         if any(t not in present for t in uniq):
             return self.spark.createDataFrame([], "doc_id long, score double")
 
         max_span = (len(terms) - 1) + slop
         seq = list(terms)
-        tomb_by_range = self.tombstones().withColumn(
-            "range_id",
-            F.expr(f"CAST(doc_id DIV {self.cfg.range_size} AS LONG)"),
-        )
 
         def per_range(pdf: pd.DataFrame, tomb_pdf: pd.DataFrame) -> pd.DataFrame:
             tomb_map = dict(
