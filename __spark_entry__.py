@@ -35,6 +35,17 @@ _RESCORE_STEMS = ["spark_utils", "main", "sparkservice", "readme", "spark", "hel
 _RESCORE_EXTS = [".py", ".md", ".json", ".cs", ".dll", ""]
 _RESCORE_REF_EPOCH = 1711929600  # 2024-04-01T00:00:00Z
 
+# rescored_interface_factor vocabulary: shapes chosen so the
+# InterfaceImplementationFactor (F6) ladder fires on every branch for
+# the query 'IRenderer' — mock (0.2), actual implementation (1.0, via
+# an impl-pattern marker appended to text for doc_id%7==0), likely
+# (0.8, *service.cs in prod paths), neutral (0.5)
+_IFACE_DIRS = ["services", "tests", "core", "docs", "node_modules", "src"]
+_IFACE_STEMS = ["renderer", "mockrenderer", "renderservice",
+                "irenderertest", "helper", "renderer_impl"]
+_IFACE_EXTS = [".cs", ".py", ".md", ".dll", "", ".json"]
+_IFACE_MARKER = " class renderer implements irenderer"
+
 _INDEX_CACHE: dict[tuple[str, str], object] = {}
 
 
@@ -704,6 +715,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
         )
 
+    def rescored_interface_factor(spark, sf):
+        """F6 active-branch oracle (InterfaceImplementationFactor.cs:
+        15-190): query 'IRenderer' is interface-shaped (I + uppercase,
+        one term), so F6 leaves its neutral 0.5 and walks the
+        mock/actual/likely ladder over synthesized filenames, paths
+        and an impl-pattern text marker; f1..f5 recompute with the
+        interface query too (filename relevance 'irenderertest',
+        test-path penalties, service.cs prod boost). Composition via
+        scoring.factors.add_multi_factor_score directly over BM25
+        top-100 'spark' candidates — same blend, DuckDB twin
+        recomputes every CASE arm."""
+        from coa_codesearch_mcp_spark.scoring.factors import (
+            add_multi_factor_score,
+        )
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        dirs = F.array(*[F.lit(x) for x in _IFACE_DIRS])
+        stems = F.array(*[F.lit(x) for x in _IFACE_STEMS])
+        exts = F.array(*[F.lit(x) for x in _IFACE_EXTS])
+        six = (F.col("doc_id") % 6 + 1).cast("int")
+        six2 = (F.expr("doc_id DIV 6") % 6 + 1).cast("int")
+        six3 = (F.expr("doc_id DIV 36") % 6 + 1).cast("int")
+        synth = docs.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(_IFACE_MARKER)),
+            ).otherwise(F.col("text")).alias("text"),
+            F.concat(
+                F.lit("https://example.org/"),
+                F.element_at(dirs, six),
+                F.lit("/"),
+                F.element_at(stems, six2),
+                F.element_at(exts, six3),
+            ).alias("url"),
+            F.timestamp_seconds(
+                F.lit(_RESCORE_REF_EPOCH)
+                - ((F.col("doc_id") % 40) - 5) * 86400
+            ).alias("warc_ts"),
+        )
+        import datetime
+
+        hits = _searcher(spark, sf, "content").search_term("spark", k=100)
+        joined = synth.join(F.broadcast(hits), "doc_id")
+        rescored = add_multi_factor_score(
+            joined,
+            "IRenderer",
+            reference_time=datetime.datetime(
+                2024, 4, 1, tzinfo=datetime.timezone.utc
+            ),
+        )
+        return (
+            rescored.select(
+                "doc_id", F.round(F.col("final_score"), 4).alias("score")
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(10)
+        )
+
     def incremental_upsert_search(spark, sf):
         """S6/W6 through the driver contract (round-2 VERDICT #7):
         build a main index over docs 0-59, then in one micro-batch
@@ -745,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_rescored_blend": search_rescored_blend,
         "incremental_upsert_search": incremental_upsert_search,
         "incremental_phrase_search": incremental_phrase_search,
+        "rescored_interface_factor": rescored_interface_factor,
         "q1_term_bm25": q1_term,
         "q13_routed_wildcard": q13_routed_wildcard,
         "q12_exact_mode": q12_exact_mode,
@@ -1308,6 +1379,108 @@ fac AS (
                 WHEN age_days < 1 THEN least(1.0, s0 * 1.2)
                 ELSE s0 END)) END AS f5,
     0.5 AS f6
+  FROM fx
+)
+SELECT doc_id,
+       round(0.6 * base
+             + 0.4 * ((f1 * 1.0 + f2 * 0.7 + f3 * 0.8 + f4 * 0.4
+                       + f5 * 0.3 + f6 * 0.3) / 3.5), 4) AS score
+FROM fac
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+    # F6 active-branch twin (query 'IRenderer'): every CASE arm of
+    # InterfaceImplementationFactor recomputed in SQL, plus f1..f5
+    # with the interface query over the _IFACE_* vocabulary. The text
+    # column gains the impl-pattern marker for doc_id%7==0 on BOTH
+    # sides.
+    _idirs_sql = "[" + ", ".join(f"'{d}'" for d in _IFACE_DIRS) + "]"
+    _istems_sql = "[" + ", ".join(f"'{s}'" for s in _IFACE_STEMS) + "]"
+    _iexts_sql = "[" + ", ".join(f"'{e}'" for e in _IFACE_EXTS) + "]"
+    sql["rescored_interface_factor"] = rf"""
+WITH {_SQL_TOK},
+base AS (
+  SELECT p.doc_id,
+         round( ln(1 + (s.n - f.df + 0.5) / (f.df + 0.5))
+                * p.tf * ({K1} + 1)
+                / (p.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl)), 4) AS base
+  FROM post p JOIN dfreq f USING (term)
+  JOIN dl d ON p.doc_id = d.doc_id CROSS JOIN stats s
+  WHERE p.term = 'spark'
+  ORDER BY base DESC, p.doc_id
+  LIMIT 100
+),
+synth AS (
+  SELECT b.doc_id, b.base,
+         CASE WHEN b.doc_id % 7 = 0
+              THEN d.text || '{_IFACE_MARKER}' ELSE d.text END AS ftext,
+         ({_idirs_sql})[(b.doc_id % 6) + 1] AS dir,
+         ({_istems_sql})[((b.doc_id // 6) % 6) + 1] AS stem,
+         ({_iexts_sql})[((b.doc_id // 36) % 6) + 1] AS ext,
+         (b.doc_id % 40) - 5 AS age_days
+  FROM base b JOIN documents d USING (doc_id)
+),
+fx AS (
+  SELECT doc_id, base, dir, stem, ext, age_days, ftext,
+         stem || ext AS fn,
+         dir || '/' || stem || ext AS path,
+         len(regexp_extract_all(ftext, '(?i)\bIRenderer\b')) AS m,
+         exp(-({_lam!r}) * age_days) AS s0
+  FROM synth
+),
+fac AS (
+  SELECT doc_id, base,
+    CASE WHEN m > 0 AND len(regexp_extract_all(fn, '(?i)\bIRenderer\b')) > 0
+         THEN least(1.0, least(1.0, log10(m + 1.0)) + 0.3)
+         WHEN m > 0 THEN least(1.0, log10(m + 1.0))
+         ELSE 0.0 END AS f1,
+    CASE WHEN dir = 'node_modules' THEN 0.1
+         ELSE least(1.0, greatest(0.05,
+           (CASE WHEN dir = 'tests' OR fn LIKE '%test%' OR fn LIKE '%spec%'
+                 THEN 0.15 ELSE 1.0 END)
+           * (CASE dir WHEN 'tests' THEN 0.4 WHEN 'docs' THEN 0.2
+                       WHEN 'node_modules' THEN 0.1 ELSE 1.0 END)
+           * (CASE WHEN stem = 'renderservice' AND ext = '.cs'
+                   THEN 1.2 ELSE 1.0 END))) END AS f2,
+    CASE WHEN stem = 'irenderer' THEN 1.0
+         WHEN stem LIKE 'irenderer%' THEN least(1.0, 0.8 + 0.2)
+         WHEN stem LIKE '%irenderer%' THEN 0.8
+         ELSE 0.0 END AS f3,
+    CASE ext WHEN '.cs' THEN 1.0 WHEN '.py' THEN 1.0 WHEN '.md' THEN 0.4
+             WHEN '.dll' THEN 0.1 WHEN '.json' THEN 0.6 ELSE 0.5 END AS f4,
+    CASE WHEN age_days < 0 THEN 0.5
+         ELSE greatest(0.1, least(1.0,
+           CASE WHEN ext IN ('.md', '.json') THEN s0 + (1.0 - s0) * 0.3
+                WHEN ext = '.dll' THEN s0 * 0.5
+                WHEN age_days < 1 THEN least(1.0, s0 * 1.2)
+                ELSE s0 END)) END AS f5,
+    CASE WHEN fn LIKE '%mock%' OR fn LIKE '%test%' OR fn LIKE '%fake%'
+              OR fn LIKE '%stub%' OR path LIKE '%test%'
+              OR path LIKE '%mock%' OR path LIKE '%spec%'
+              OR ftext LIKE '%class mock%' OR ftext LIKE '%class test%'
+              OR ftext LIKE '%class fake%' OR ftext LIKE '%[test%'
+              OR ftext LIKE '%[fact%'
+         THEN 0.2
+         WHEN fn LIKE '%renderer%' AND fn NOT LIKE '%mock%'
+              AND fn NOT LIKE '%test%'
+              AND (path LIKE '%services%' OR path LIKE '%domain%'
+                   OR path LIKE '%core%' OR path LIKE '%infrastructure%'
+                   OR path LIKE '%implementation%'
+                   OR (path NOT LIKE '%test%' AND path NOT LIKE '%mock%'
+                       AND path NOT LIKE '%spec%'))
+              AND (ftext LIKE '%class renderer%'
+                   OR ftext LIKE '%: irenderer%'
+                   OR (ftext LIKE '%class %' AND ftext LIKE '%irenderer%'))
+         THEN 1.0
+         WHEN (path LIKE '%services%' OR path LIKE '%domain%'
+               OR path LIKE '%core%' OR path LIKE '%infrastructure%'
+               OR (path NOT LIKE '%test%' AND path NOT LIKE '%mock%'))
+              AND (fn LIKE '%service.cs' OR fn LIKE '%repository.cs'
+                   OR fn LIKE '%manager.cs' OR fn LIKE '%handler.cs'
+                   OR fn LIKE '%provider.cs')
+         THEN 0.8
+         ELSE 0.5 END AS f6
   FROM fx
 )
 SELECT doc_id,
