@@ -52,10 +52,33 @@ def assign_dense_doc_ids(
     values must be unique (they identify docs)."""
     bucket = F.pmod(F.hash(F.col(key_col)), F.lit(partitions))
     keys = docs.select(key_col).withColumn("__bucket", bucket)
-    counts = {
-        r["__bucket"]: r["cnt"]
-        for r in keys.groupBy("__bucket").agg(F.count("*").alias("cnt")).collect()
-    }
+    # the contract (unique, non-null keys) is ENFORCED, not assumed:
+    # the final equi-join drops NULL keys silently (NULL never equals
+    # NULL) and fans out duplicates, while the offsets below would
+    # still count them — both corrupt the dense 0..n-1 id space
+    # (review finding). Same single pass as the bucket counting.
+    rows = (
+        keys.groupBy("__bucket")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.count_distinct(F.col(key_col)).alias("uniq"),
+            F.sum(F.col(key_col).isNull().cast("long")).alias("nulls"),
+        )
+        .collect()
+    )
+    n_nulls = sum(int(r["nulls"] or 0) for r in rows)
+    if n_nulls:
+        raise ValueError(
+            f"{key_col} contains {n_nulls} NULLs; keys must be non-null "
+            "unique doc identities"
+        )
+    n_dups = sum(int(r["cnt"]) - int(r["uniq"]) for r in rows)
+    if n_dups:
+        raise ValueError(
+            f"{key_col} contains {n_dups} duplicate values; keys must "
+            "uniquely identify docs (dedup first)"
+        )
+    counts = {r["__bucket"]: r["cnt"] for r in rows}
     offsets, acc = [], 0
     for b in range(partitions):
         offsets.append(acc)

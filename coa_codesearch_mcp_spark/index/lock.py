@@ -165,12 +165,13 @@ class WriteLock:
             os.path.join(self.root, BREAK_MUTEX_NAME), os.O_CREAT | os.O_RDWR
         )
         try:
-            try:
-                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            except OSError:
-                # another breaker is mid-break: let it finish, re-enter
-                time.sleep(0.005)
-                return
+            # BLOCKING flock: another breaker's critical section is a
+            # read + unlink (bounded small), and the kernel releases
+            # the mutex if its holder dies. A non-blocking probe with
+            # a 5 ms sleep burned acquire()'s bounded retries while a
+            # slow-filesystem breaker worked, spuriously failing a
+            # legitimately-stale break (review finding).
+            fcntl.flock(fd, fcntl.LOCK_EX)
             current = self._read(self.path)
             if current != info or not self._is_stale(current, self.path):
                 # replaced (or refreshed) since our first read — the new

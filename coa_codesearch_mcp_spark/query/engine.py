@@ -158,9 +158,15 @@ class TextSearchEngine:
                 content._empty(), plan, "standard", error=err
             )
         field = plan.target_field if plan.target_field in self.searchers else FIELD_CONTENT
+        # the key carries the routed field's snapshot AND content's:
+        # a zero-hit routed query falls back to content, so cached
+        # fallback rows must also be orphaned when the CONTENT index
+        # commits (review finding: keying on the routed field alone
+        # served pre-rebuild fallback hits for up to ttl_seconds)
         key = (
             plan.processed_query, field, "standard", k,
             self._snapshot_token(self.searchers[field]),
+            self._snapshot_token(content) if field != FIELD_CONTENT else None,
         )
         state = {"fallback": False}
 

@@ -335,42 +335,13 @@ class Searcher:
 
     def _execute_bool(self, q, k: int) -> DataFrame:
         """Flat boolean: doc matches all MUST, no MUST_NOT; score sums
-        matching MUST + SHOULD contributions (Lucene semantics)."""
-        parts = []
-        for i, clause in enumerate(q.must):
-            parts.append(
-                self._clause_scores(clause).select(
-                    "doc_id", "contrib", F.lit(i).alias("clause"),
-                    F.lit(True).alias("is_must"),
-                )
-            )
-        for j, clause in enumerate(q.should):
-            parts.append(
-                self._clause_scores(clause).select(
-                    "doc_id", "contrib", F.lit(1000 + j).alias("clause"),
-                    F.lit(False).alias("is_must"),
-                )
-            )
-        if not parts:
+        matching MUST + SHOULD contributions (Lucene semantics).
+        Composition is SHARED with StoreSearcher (query/boolops.py)."""
+        from .boolops import compose_bool
+
+        out = compose_bool(q, self._clause_scores)
+        if out is None:
             return self._empty()
-        allc = parts[0]
-        for p in parts[1:]:
-            allc = allc.unionByName(p)
-        agg = allc.groupBy("doc_id").agg(
-            F.sum("contrib").alias("score"),
-            F.count_distinct(
-                F.when(F.col("is_must"), F.col("clause"))
-            ).alias("n_must"),
-        )
-        if q.must:
-            agg = agg.filter(F.col("n_must") == len(q.must))
-        out = agg.select("doc_id", "score")
-        if q.must_not:
-            banned = None
-            for clause in q.must_not:
-                b = self._clause_scores(clause).select("doc_id")
-                banned = b if banned is None else banned.unionByName(b)
-            out = out.join(banned.distinct(), "doc_id", "left_anti")
         return self._topk(out, k)
 
     # ---------------- helpers ----------------

@@ -365,45 +365,28 @@ class StoreSearcher:
                 inner = self._flat_terms(q.must[0].should)
                 if inner is not None:
                     return self.search_or(inner, k, exclude=not_terms)
-        if len(q.must) == 1 and not q.should and not q.must_not:
+        if (
+            len(q.must) == 1
+            and not q.should
+            and not q.must_not
+            and not isinstance(q.must[0], BoolQ)
+        ):
+            # single non-bool must: the dedicated path (WAND / phrase /
+            # expansion) returns the same relation, pruned. A single
+            # NESTED BoolQ must stays in the general composition so
+            # nested should-group semantics (non-TermQ children
+            # dropped, Searcher._clause_scores quirk) match the
+            # logical engine exactly — unwrapping it to top level
+            # would score children the logical path drops
             return self.execute(q.must[0], k)
 
-        # general composition (mirrors Searcher._execute_bool)
-        parts = []
-        for i, clause in enumerate(q.must):
-            parts.append(
-                self._clause_relation(clause).select(
-                    "doc_id", "contrib", F.lit(i).alias("clause"),
-                    F.lit(True).alias("is_must"),
-                )
-            )
-        for j, clause in enumerate(q.should):
-            parts.append(
-                self._clause_relation(clause).select(
-                    "doc_id", "contrib", F.lit(1000 + j).alias("clause"),
-                    F.lit(False).alias("is_must"),
-                )
-            )
-        if not parts:
+        # general composition — SHARED with the logical engine
+        # (query/boolops.py), parameterized by the clause-relation fn
+        from .boolops import compose_bool
+
+        out = compose_bool(q, self._clause_relation)
+        if out is None:
             return self._empty()
-        allc = parts[0]
-        for p in parts[1:]:
-            allc = allc.unionByName(p)
-        agg = allc.groupBy("doc_id").agg(
-            F.sum("contrib").alias("score"),
-            F.count_distinct(
-                F.when(F.col("is_must"), F.col("clause"))
-            ).alias("n_must"),
-        )
-        if q.must:
-            agg = agg.filter(F.col("n_must") == len(q.must))
-        out = agg.select("doc_id", "score")
-        if q.must_not:
-            banned = None
-            for clause in q.must_not:
-                b = self._clause_relation(clause).select("doc_id")
-                banned = b if banned is None else banned.unionByName(b)
-            out = out.join(banned.distinct(), "doc_id", "left_anti")
         return (
             out.select("doc_id", F.round("score", 4).alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id"))
@@ -425,9 +408,17 @@ class StoreSearcher:
         if isinstance(q, TermQ):
             return scores(self._wand_search([q.term], self._ALL, "or"))
         if isinstance(q, BoolQ) and q.should and not q.must and not q.must_not:
-            terms = self._flat_terms(q.should)
-            if terms is not None:
-                return scores(self._wand_search(terms, self._ALL, "or"))
+            # same quirk as Searcher._clause_scores: non-TermQ children
+            # of a should-group are DROPPED, not an error — the two
+            # execute() implementations must accept identical ASTs
+            # (review finding: the store path raised where the logical
+            # path answered)
+            terms = [c.term for c in q.should if isinstance(c, TermQ)]
+            return scores(
+                self._wand_search(terms, self._ALL, "or")
+                if terms
+                else self._empty()
+            )
         if isinstance(q, WildcardQ):
             terms = self._expand(wildcard_predicate(q.pattern))
             return scores(

@@ -381,7 +381,14 @@ class DeltaIndexManager:
         )
         tomb.write.mode("append").parquet(self._tombstone_path())
 
-        # 4) single commit makes the delta AND its tombstones visible
+        # 4) single commit makes the delta AND its tombstones visible.
+        # corrections_layout stamps that this delta's hidden-df
+        # accounting was written (even when it was legitimately empty)
+        # — the query side refuses delta indexes whose batches predate
+        # the correction tables rather than silently over-counting
+        # hidden copies (review finding: a legacy index returned
+        # inflated N/df with no error)
+        self.manifest.set_stats("corrections_layout", 1)
         self.manifest.record_unit(
             "deltas", str(delta_id), {"events": n_events, "upserts": n_upserts}
         )
@@ -516,6 +523,35 @@ class DeltaIndexManager:
         finally:
             vis.unpersist()
 
+    def _require_corrections_layout(self) -> None:
+        """Refuse to answer over a delta tier whose batches predate
+        the hidden-df correction tables: without them every replaced
+        doc's old copy would silently inflate N/avgdl/df (the exact
+        idf bug the corrections exist to prevent). Rebuild or compact
+        (rebuild()/merge_deltas fold at the token level and need no
+        corrections) to migrate."""
+        if self._delta_ids() and self.manifest.get_stats(
+            "corrections_layout"
+        ) != 1:
+            raise ValueError(
+                f"delta index at {self.root} has committed deltas but no "
+                "hidden-df correction layout (written by an older "
+                "version): live stats would over-count hidden copies. "
+                "Migrate by folding the tier: "
+                "DeltaIndexManager.merge_deltas() or rebuild()."
+            )
+
+    @staticmethod
+    def _nonempty_dir(path: str) -> bool:
+        """False for a missing OR empty directory — a retried batch
+        whose corrections became empty removes its partition, which
+        can leave the base dir existing with no parquet underneath;
+        reading that raises instead of meaning zero (review finding)."""
+        try:
+            return any(e.name.startswith("issued_delta=") for e in os.scandir(path))
+        except OSError:
+            return False
+
     def _hidden_df_map(self, terms: list[str]) -> dict[tuple[str, int], int]:
         """(term, seg_id) -> docs of ``term`` hidden in that segment,
         summed over COMMITTED deltas. issued_delta is the partition
@@ -525,7 +561,7 @@ class DeltaIndexManager:
         decode."""
         path = self._hidden_df_path()
         committed = self._delta_ids()
-        if not terms or not committed or not os.path.exists(path):
+        if not terms or not committed or not self._nonempty_dir(path):
             return {}
         rows = (
             self.spark.read.parquet(path)
@@ -546,14 +582,15 @@ class DeltaIndexManager:
         unchanged index skip the read entirely."""
         path = self._hidden_stats_path()
         committed = self._delta_ids()
-        if not committed or not os.path.exists(path):
+        if not committed or not self._nonempty_dir(path):
             return 0, 0
         key = (int(self._active().get("epoch", 0)), tuple(committed))
-        cache = getattr(self, "_stats_cache", None)
-        if cache is None:
-            cache = self._stats_cache = {}
-        if key in cache:
-            return cache[key]
+        # single-entry cache: only the CURRENT snapshot's totals are
+        # ever re-requested; keeping history grew without bound on a
+        # long-running stream (review finding)
+        cached = getattr(self, "_stats_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         row = (
             self.spark.read.parquet(path)
             .filter(F.col("issued_delta").isin(committed))
@@ -564,7 +601,7 @@ class DeltaIndexManager:
             .first()
         )
         out = int(row["docs"] or 0), int(row["dl"] or 0)
-        cache[key] = out
+        self._stats_cache = (key, out)
         return out
 
     # -------------------------------------------------------- query
@@ -574,6 +611,7 @@ class DeltaIndexManager:
         per-segment corpus stats (manifest) minus committed hidden
         totals (one tiny parquet read). The round-3 version launched a
         doclens anti-join job PER SEGMENT per query."""
+        self._require_corrections_layout()
         segs = self.segments()
         n, total = 0, 0.0
         for _, r in segs:

@@ -121,3 +121,18 @@ def test_store_facade_matches_logical_facade(engine3, store_engine, query, mode)
     want = [(r["doc_id"], r["score"])
             for r in logical_content.search(query, mode=mode, k=8).hits.collect()]
     assert got == want, (query, mode)
+
+
+def test_store_execute_accepts_mixed_should_group(engine3, store_engine):
+    """The two execute() implementations must accept IDENTICAL ASTs:
+    a should-group holding a non-TermQ child is answered (non-term
+    children dropped, matching Searcher._clause_scores' behavior),
+    never a TypeError (round-4 review finding)."""
+    from coa_codesearch_mcp_spark.query.ast import BoolQ, PhraseQ, TermQ
+
+    ast = BoolQ(must=[BoolQ(should=[TermQ("spark"), PhraseQ(["fast", "key"])])])
+    got = [(r["doc_id"], r["score"])
+           for r in store_engine.searchers["content"].execute(ast, 8).collect()]
+    want = [(r["doc_id"], r["score"])
+            for r in engine3.searchers["content"].execute(ast, 8).collect()]
+    assert got == want and len(got) > 0

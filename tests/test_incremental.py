@@ -420,6 +420,28 @@ def test_out_of_order_replay_keeps_df_exact(spark, mgr, tmp_path):
         assert hits(mgr, probe, k=40) == hits(fresh, probe, k=40), probe
 
 
+def test_legacy_delta_index_without_corrections_refused(spark, mgr):
+    """A delta tier committed by a pre-correction version must FAIL
+    LOUDLY, not silently over-count hidden copies in N/avgdl/df
+    (round-4 review finding). Simulated by stripping the layout
+    marker the batch commit stamps."""
+    mgr.apply_batch(
+        _changes(
+            spark,
+            [("https://x.org/a.html", "upsert", "legacymarker text", TS, TS)],
+        )
+    )
+    assert len(hits(mgr, ["legacymarker"])) == 1  # marker present: fine
+    mgr.manifest.data["stats"].pop("corrections_layout")
+    mgr.manifest.commit()
+    with pytest.raises(ValueError, match="correction layout"):
+        mgr.search_or(["legacymarker"], k=5).collect()
+    # main-only roots (no deltas) stay readable regardless
+    mgr2 = DeltaIndexManager(spark, mgr.root, CFG)
+    mgr2.manifest.data["stages"].pop("deltas", None)
+    assert mgr2.combined_stats()[0] > 0
+
+
 def test_merge_folds_deltas_committed_by_other_writer(spark, mgr, tmp_path):
     """A second writer commits a delta (and a delete) AFTER the first
     manager loaded its manifest; the first manager's merge_deltas must
