@@ -774,6 +774,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .limit(10)
         )
 
+    def image_decode_features(spark, sf):
+        """REAL multimodal decode through the driver gate: images
+        whose pixels are a pure function of (doc_id, y, x, c) are
+        encoded as actual PNGs (per-row filters 0/1/2 — the unfilter
+        paths run for real), decoded executor-side by the pure-numpy
+        PNG decoder (functions/imagecodec.py, public W3C spec, stdlib
+        zlib) inside mapInPandas, and reduced to (width, height,
+        pixel_sum). The DuckDB twin computes the same sums
+        ARITHMETICALLY — a hash match proves the decoder reconstructs
+        every pixel exactly, with no image library on either side."""
+        import numpy as np
+        import pandas as pd
+
+        from coa_codesearch_mcp_spark.functions.imagecodec import encode_png
+        from coa_codesearch_mcp_spark.functions.multimodal import decode_image
+
+        rows = []
+        for i in range(40):
+            h, w = 6 + i % 5, 8 + i % 7
+            y, x, c = np.meshgrid(
+                np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+            )
+            img = ((i * 31 + y * 7 + x * 3 + c) % 256).astype(np.uint8)
+            rows.append((i, bytearray(encode_png(img, filters=[0, 1, 2]))))
+        df = spark.createDataFrame(rows, "doc_id long, blob binary")
+
+        def decode(batches):
+            for pdf in batches:
+                out = []
+                for did, blob in zip(pdf["doc_id"], pdf["blob"]):
+                    img = decode_image(bytes(blob))
+                    out.append(
+                        {
+                            "doc_id": int(did),
+                            "width": img.shape[1],
+                            "height": img.shape[0],
+                            "pixel_sum": int(img.astype("int64").sum()),
+                        }
+                    )
+                yield pd.DataFrame(
+                    out, columns=["doc_id", "width", "height", "pixel_sum"]
+                )
+
+        return df.mapInPandas(
+            decode, "doc_id long, width long, height long, pixel_sum long"
+        ).orderBy("doc_id")
+
     def incremental_upsert_search(spark, sf):
         """S6/W6 through the driver contract (round-2 VERDICT #7):
         build a main index over docs 0-59, then in one micro-batch
@@ -816,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_upsert_search": incremental_upsert_search,
         "incremental_phrase_search": incremental_phrase_search,
         "rescored_interface_factor": rescored_interface_factor,
+        "image_decode_features": image_decode_features,
         "q1_term_bm25": q1_term,
         "q13_routed_wildcard": q13_routed_wildcard,
         "q12_exact_mode": q12_exact_mode,
@@ -1269,6 +1317,29 @@ FROM scored ORDER BY round(score, 4) DESC, url
     # logical oracles are their spec
     sql["q12_exact_mode_store"] = sql["q12_exact_mode"]
     sql["q13_routed_wildcard_store"] = sql["q13_routed_wildcard"]
+
+    # image-decode twin: the pixel formula img[y,x,c] = (doc_id*31 +
+    # y*7 + x*3 + c) % 256 lets SQL compute each image's exact pixel
+    # sum with no decoding — the Spark side must reconstruct it from
+    # REAL PNG bytes through the pure-numpy decoder
+    sql["image_decode_features"] = """
+WITH ids AS (SELECT DISTINCT doc_id FROM range(0, 40) t(doc_id)),
+dims AS (
+  SELECT doc_id, 6 + doc_id % 5 AS h, 8 + doc_id % 7 AS w FROM ids
+),
+px AS (
+  SELECT d.doc_id, d.w, d.h,
+         sum((d.doc_id * 31 + y.y * 7 + x.x * 3 + c.c) % 256) AS pixel_sum
+  FROM dims d
+  CROSS JOIN range(0, 11) y(y)
+  CROSS JOIN range(0, 15) x(x)
+  CROSS JOIN range(0, 3) c(c)
+  WHERE y.y < d.h AND x.x < d.w
+  GROUP BY 1, 2, 3
+)
+SELECT doc_id, w AS width, h AS height, CAST(pixel_sum AS BIGINT) AS pixel_sum
+FROM px ORDER BY doc_id
+"""
 
     # incremental phrase twin: positional phrase BM25 over the LIVE
     # corpus after the same change batch (phrase exists only in the

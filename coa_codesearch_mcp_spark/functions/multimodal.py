@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The decode kernels (image resize, audio resample, video frame-sample)
-need codec libraries that are NOT in this container, so the kernels
-are STUBBED behind ``NotImplementedError`` with a deterministic fake
-used by tests (``fake=True``). Everything Spark-side — schema, batch
-iteration, partition sizing, UDF signatures, output shapes — is real
-and tested; swapping the fake for a real decoder changes one function.
+Round-4: the image decode kernel is REAL for PNG / BMP / PPM —
+implemented from the public specs with stdlib ``zlib`` + numpy
+(functions/imagecodec.py), so ``image_features(fake=False)`` runs
+end-to-end on actual image bytes with no codec library. Formats that
+genuinely need entropy/DCT libraries (JPEG, WebP, video, audio)
+remain environment-blocked behind ``NotImplementedError``; the
+deterministic fake kernel (``fake=True``) still exists for tests that
+want format-independent plumbing coverage.
 
 Scale notes: media blobs dominate row size, so ``mapInPandas`` with a
 small ``spark.sql.execution.arrow.maxRecordsPerBatch`` (set in
@@ -37,13 +39,26 @@ IMAGE_FEATURE_SCHEMA = T.StructType(
 
 
 def decode_image(data: bytes) -> "np.ndarray":
-    """Real decoder stub — requires an image codec library.
+    """Decode image bytes -> HxWx3 uint8 RGB.
 
-    Replace with e.g. PIL/turbojpeg in a real deployment.
-    """
+    PNG / BMP / PPM decode for real (pure numpy + stdlib zlib from
+    the public specs — functions/imagecodec.py). JPEG/WebP/video
+    would need codec libraries this environment does not provide and
+    stay NotImplementedError (swap in PIL/turbojpeg in a deployment
+    that has them)."""
+    from .imagecodec import decode_bmp, decode_png, decode_ppm
+
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:2] == b"P6":
+        return decode_ppm(data)
     raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "use fake=True for the deterministic test kernel"
+        "only PNG/BMP/PPM are decodable without codec libraries "
+        "(JPEG/WebP need libjpeg-class dependencies not present in "
+        "this environment); use fake=True for the deterministic test "
+        "kernel"
     )
 
 

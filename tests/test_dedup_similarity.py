@@ -128,6 +128,6 @@ def test_multimodal_plumbing(spark):
     # determinism: same blob -> same phash
     again = {r["url"]: r["phash"] for r in image_features(docs, blob_col="html", fake=True).collect()}
     assert all(again[r["url"]] == r["phash"] for r in rows)
-    # the real kernel is an explicit stub
+    # formats that need codec libraries stay explicit stubs
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
