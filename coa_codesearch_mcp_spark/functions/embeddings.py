@@ -1,0 +1,81 @@
+"""Text -> dense vector embedding, model-free: signed feature hashing.
+
+The reference embeds with an ONNX bge-small model
+(Services/Embeddings/EmbeddingService.cs) — no model or ONNX runtime
+ships in this environment, so that exact behavior stays a documented
+divergence. What CAN be built for real, from public literature, is
+the hashing-trick embedding (Weinberger et al. 2009, "Feature Hashing
+for Large Scale Multitask Learning"; sign trick per Section 3):
+
+    for each token t:  bucket = md5(t)[:8] mod dim
+                       sign   = +1/-1 from the 9th md5 nibble's parity
+    v[bucket] += sign, then L2-normalize.
+
+Properties that make it the right stand-in at 10^12 docs:
+- model-free, deterministic, embarrassingly parallel (one Arrow-batch
+  pandas UDF — no model weights to broadcast, no GPU);
+- inner products approximate token-multiset similarity unbiasedly
+  (the hashing-trick guarantee), so cosine/KNN/ANN pipelines behave
+  like they would over real embeddings;
+- md5 is available in DuckDB too, so the WHOLE embedding is
+  oracle-checkable value-for-value — something a neural model could
+  never offer the driver's correctness gate.
+
+The output column contract matches the pre-supplied
+``embeddings.parquet`` (``array<float>``-compatible dense vectors),
+so AnnIndex / knn / embedding-dedup consume these unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def _embed_series(texts: pd.Series, dim: int, round_to: int) -> pd.Series:
+    out = []
+    for text in texts:
+        vec = np.zeros(dim, dtype=np.float64)
+        for tok in (text or "").lower().split():
+            h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+            bucket = int(h[:8], 16) % dim
+            sign = 1.0 if int(h[8], 16) % 2 == 0 else -1.0
+            vec[bucket] += sign
+        norm = float(np.sqrt((vec * vec).sum()))
+        if norm > 0:
+            vec = vec / norm
+        out.append([round(float(x), round_to) for x in vec])
+    return pd.Series(out)
+
+
+def hashed_embedding_udf(dim: int = 64, round_to: int = 6):
+    """Arrow-batched Series->Series UDF producing the hashed vector."""
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def embed(texts: pd.Series) -> pd.Series:
+        return _embed_series(texts, dim, round_to)
+
+    return embed
+
+
+def embed_texts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """(id, embedding array<double>) — whitespace-lowercase tokens
+    through the signed hashing trick, L2-normalized. Rounding pins the
+    values for cross-engine comparison (and keeps parquet output
+    stable); 6 decimals ≫ the float32 precision a model would give."""
+    return df.select(
+        F.col(id_col),
+        hashed_embedding_udf(dim, round_to)(F.col(text_col)).alias("embedding"),
+    )

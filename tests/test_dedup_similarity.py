@@ -131,3 +131,38 @@ def test_multimodal_plumbing(spark):
     # formats that need codec libraries stay explicit stubs
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
+
+
+def test_hashed_embeddings_feed_knn_and_ann(spark, tmp_path):
+    """Generated embeddings honor the embeddings.parquet contract:
+    brute-force KNN and the materialized AnnIndex consume them
+    unchanged, and a doc is its own nearest neighbor (cosine 1.0).
+    Determinism: two runs produce identical vectors."""
+    from coa_codesearch_mcp_spark.functions.embeddings import embed_texts
+    from coa_codesearch_mcp_spark.functions.similarity import (
+        AnnIndex,
+        knn_bruteforce,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"token{i} shared words appear here plus token{i % 3}")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    emb = embed_texts(docs, dim=32).withColumnRenamed("doc_id", "vec_id")
+    rows = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    again = {r["vec_id"]: r["embedding"] for r in
+             embed_texts(docs, dim=32).withColumnRenamed("doc_id", "vec_id").collect()}
+    assert rows == again
+    # unit norm up to the 6dp per-component rounding applied AFTER
+    # normalization (error bound ~ dim * 1e-6 in the squared sum)
+    assert all(abs(sum(x * x for x in v) - 1.0) < 1e-4 for v in rows.values())
+
+    q = [float(x) for x in rows[7]]
+    top = knn_bruteforce(emb, q, k=3).collect()
+    assert top[0]["vec_id"] == 7 and abs(top[0]["cosine"] - 1.0) < 1e-6
+
+    root = str(tmp_path / "ann_hashed")
+    AnnIndex.build(spark, emb, root, n_planes=3)
+    got = AnnIndex(spark, root).query(q, k=3, n_probes=8).collect()
+    assert got[0]["vec_id"] == 7
