@@ -122,6 +122,16 @@ def main() -> None:
 
     timed("q16_knn", knn)
 
+    # hashed-embedding generation throughput (model-free pandas UDF)
+    from coa_codesearch_mcp_spark.functions.embeddings import embed_texts
+
+    def embed_all():
+        return embed_texts(docs, dim=64).agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+
+    timed("embed_hash_corpus", embed_all)
+
     # --- incremental (NRT) tier: init + micro-batch MERGE + queries
     # through DeltaIndexManager (main + delta + tombstones + hidden-df
     # corrections). Establishes the baseline the decode-free/WAND live
