@@ -102,6 +102,7 @@ def _score_range_segments(
     mode: str,
     n_required: int | None,
     stats=None,
+    threshold0: float = 0.0,
 ) -> list[tuple[int, float]]:
     """Block-max WAND over one doc range's blocks, segment by segment.
 
@@ -119,7 +120,7 @@ def _score_range_segments(
     from ..query.wand import wand_topk
 
     out: list[tuple[int, float]] = []
-    theta = 0.0
+    theta = threshold0
     for seg_id in sorted(pdf["seg_id"].unique()):
         sid = int(seg_id)
         seg_pdf = pdf[pdf["seg_id"] == seg_id]
@@ -690,11 +691,13 @@ class DeltaIndexManager:
 
         hidden = self._hidden_df_map(terms)
         idfs: dict[str, float] = {}
+        live_df: dict[str, int] = {}
         for t in terms:
             live = sum(
                 seg_df.get((t, s), 0) - hidden.get((t, s), 0) for s, _ in segs
             )
             if live > 0:
+                live_df[t] = live
                 idfs[t] = idf_py(live, n_docs)
 
         # Tombstones are DISTRIBUTED to the range that owns each doc id
@@ -705,7 +708,70 @@ class DeltaIndexManager:
             "range_id",
             F.expr(f"CAST(doc_id DIV {self.cfg.range_size} AS LONG)"),
         )
-        return n_docs, avgdl, idfs, seg_df, all_blocks, tomb_by_range
+        return n_docs, avgdl, idfs, live_df, seg_df, all_blocks, tomb_by_range
+
+    # df skew above which the bootstrap pre-pass pays for itself —
+    # same gate as StoreSearcher.BOOTSTRAP_DF_RATIO
+    BOOTSTRAP_DF_RATIO = 8
+
+    def _bootstrap_theta_live(
+        self,
+        live_df: dict[str, int],
+        idfs: dict[str, float],
+        all_blocks,
+        tomb_by_range,
+        avgdl: float,
+        k: int,
+        mode: str,
+        exclude: list[str],
+    ) -> float:
+        """Global threshold bootstrap for the LIVE tier's scatter —
+        the store path's round-3 win, applicable now that the live
+        tier runs WAND (round-4): seed every (range, segment) with the
+        rare term's global k-th best single-term score over LIVE docs.
+        At least k live docs carry the rare term and score >= the
+        seed, so pruning below it cannot evict a global top-k doc.
+        The pre-pass is the same per-(range, segment) scatter
+        restricted to the rare term's blocks, tombstone visibility
+        applied — it only ever scores live docs, which is what makes
+        the safety argument hold across segments. Gated exactly like
+        StoreSearcher._bootstrap_theta (OR, no NOT-exclusions,
+        rare df >= 4k, df skew >= 8x)."""
+        if mode != "or" or exclude or len(idfs) < 2:
+            return 0.0
+        dfs = {t: live_df[t] for t in idfs}
+        rare = min(dfs, key=lambda t: dfs[t])
+        if dfs[rare] < 4 * k or max(dfs.values()) < self.BOOTSTRAP_DF_RATIO * dfs[rare]:
+            return 0.0
+        rare_idfs = {rare: idfs[rare]}
+
+        def per_range(pdf: pd.DataFrame, tomb_pdf: pd.DataFrame) -> pd.DataFrame:
+            tomb_map = dict(
+                zip(
+                    tomb_pdf["doc_id"].astype("int64").tolist(),
+                    tomb_pdf["upto_seg"].astype("int64").tolist(),
+                )
+            )
+            hits = _score_range_segments(
+                pdf, tomb_map, rare_idfs, set(), avgdl, k, "or", None
+            )
+            return pd.DataFrame(hits, columns=["doc_id", "score"])
+
+        scores = (
+            all_blocks.filter(F.col("term") == rare)
+            .groupby("range_id")
+            .cogroup(tomb_by_range.groupby("range_id"))
+            .applyInPandas(
+                lambda left, right: per_range(left, right),
+                "doc_id long, score double",
+            )
+            .orderBy(F.desc("score"))
+            .limit(k)
+            .collect()
+        )
+        if len(scores) < k:
+            return 0.0
+        return float(scores[-1]["score"])
 
     def _search(
         self,
@@ -730,12 +796,15 @@ class DeltaIndexManager:
         ctx = self._query_context(terms, exclude)
         if ctx is None:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        n_docs, avgdl, idfs, _seg_df, all_blocks, tomb_by_range = ctx
+        n_docs, avgdl, idfs, live_df, _seg_df, all_blocks, tomb_by_range = ctx
         if not idfs or (mode == "and" and len(idfs) < len(terms)):
             return self.spark.createDataFrame([], "doc_id long, score double")
         kk = k
         n_required = len(terms) if mode == "and" else None
         exclude_set = set(exclude)
+        theta0 = self._bootstrap_theta_live(
+            live_df, idfs, all_blocks, tomb_by_range, avgdl, k, mode, exclude
+        )
 
         def per_range(pdf: pd.DataFrame, tomb_pdf: pd.DataFrame) -> pd.DataFrame:
             tomb_map = dict(
@@ -745,7 +814,8 @@ class DeltaIndexManager:
                 )
             )
             hits = _score_range_segments(
-                pdf, tomb_map, idfs, exclude_set, avgdl, kk, mode, n_required
+                pdf, tomb_map, idfs, exclude_set, avgdl, kk, mode, n_required,
+                threshold0=theta0,
             )
             return pd.DataFrame(hits, columns=["doc_id", "score"])
 
@@ -769,6 +839,7 @@ class DeltaIndexManager:
         k: int = 10,
         mode: str = "or",
         exclude: list[str] | None = None,
+        bootstrap: bool = True,
     ):
         """Diagnostic twin of _search: runs the SAME per-range scorer
         (_score_range_segments) driver-side over the collected
@@ -781,10 +852,17 @@ class DeltaIndexManager:
         ctx = self._query_context(terms, exclude)
         if ctx is None:
             return [], WandStats()
-        n_docs, avgdl, idfs, _seg_df, all_blocks, tomb_by_range = ctx
+        n_docs, avgdl, idfs, live_df, _seg_df, all_blocks, tomb_by_range = ctx
         if not idfs or (mode == "and" and len(idfs) < len(terms)):
             return [], WandStats()
         n_required = len(terms) if mode == "and" else None
+        theta0 = (
+            self._bootstrap_theta_live(
+                live_df, idfs, all_blocks, tomb_by_range, avgdl, k, mode, exclude
+            )
+            if bootstrap
+            else 0.0
+        )
         blocks_pdf = all_blocks.toPandas()
         tomb_map = {
             int(r["doc_id"]): int(r["upto_seg"])
@@ -796,7 +874,7 @@ class DeltaIndexManager:
             hits.extend(
                 _score_range_segments(
                     range_pdf, tomb_map, idfs, set(exclude), avgdl, k, mode,
-                    n_required, stats=stats,
+                    n_required, stats=stats, threshold0=theta0,
                 )
             )
         hits.sort(key=lambda t: (-round(t[1], 4), t[0]))
@@ -821,7 +899,7 @@ class DeltaIndexManager:
         ctx = self._query_context(uniq, [])
         if ctx is None:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        n_docs, avgdl, _idfs, seg_df, all_blocks, tomb_by_range = ctx
+        n_docs, avgdl, _idfs, _live_df, seg_df, all_blocks, tomb_by_range = ctx
         # presence = dictionary presence in ANY segment (visibility is
         # applied per candidate later; a term whose only copies are
         # hidden simply yields no candidates)

@@ -367,6 +367,15 @@ def test_live_tier_wand_prunes_blocks(spark, tmp_path):
     dist = [(r["doc_id"], r["score"]) for r in
             m.search_or(["common", "rareterm"], k=10).collect()]
     assert hits == dist
+    # live-tier global threshold bootstrap (df 6001 x 41, ratio >= 8,
+    # rare df >= 4k => the gate fires): identical top-k, never MORE
+    # decoding than the unseeded scatter
+    hits_u, stats_u = m.wand_stats(
+        ["common", "rareterm"], k=10, bootstrap=False
+    )
+    assert hits == hits_u
+    assert stats.blocks_decoded <= stats_u.blocks_decoded
+    assert stats.docs_scored <= stats_u.docs_scored
 
 
 def test_out_of_order_replay_keeps_df_exact(spark, mgr, tmp_path):
