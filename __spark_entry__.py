@@ -837,6 +837,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return embed_texts(docs, dim=16).orderBy("doc_id")
 
+    def pipeline_quality_dedup_embed_knn(spark, sf):
+        """Composed training-data pipeline in ONE declarative plan —
+        the shape this engine exists for at 100 TB: quality filter
+        (min word count) -> exact dedup keeping the smallest doc_id
+        per text -> hashing-trick embedding -> cosine top-5 against
+        doc 0's vector. Every stage is Catalyst-planned (window dedup,
+        Arrow-batched embed UDF, broadcast query vector); the DuckDB
+        twin recomputes the whole pipeline including every embedding
+        component."""
+        from coa_codesearch_mcp_spark.functions.embeddings import embed_texts
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
+            F.col("doc_id") < 200
+        )
+        words = F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+        )
+        quality = docs.filter(words >= 5)
+        from pyspark.sql import Window as W
+
+        deduped = (
+            quality.withColumn(
+                "_rn",
+                F.row_number().over(
+                    W.partitionBy("text").orderBy(F.asc("doc_id"))
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        emb = embed_texts(deduped, dim=16)
+        qv = emb.filter(F.col("doc_id") == 0).select(
+            F.col("embedding").alias("qv")
+        )
+        dot = F.aggregate(
+            F.zip_with("embedding", "qv", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            emb.crossJoin(F.broadcast(qv))
+            .select("doc_id", F.round(dot, 4).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("doc_id"))
+            .limit(5)
+        )
+
     def incremental_upsert_search(spark, sf):
         """S6/W6 through the driver contract (round-2 VERDICT #7):
         build a main index over docs 0-59, then in one micro-batch
@@ -881,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescored_interface_factor": rescored_interface_factor,
         "image_decode_features": image_decode_features,
         "text_hash_embeddings": text_hash_embeddings,
+        "pipeline_quality_dedup_embed_knn": pipeline_quality_dedup_embed_knn,
         "q1_term_bm25": q1_term,
         "q13_routed_wildcard": q13_routed_wildcard,
         "q12_exact_mode": q12_exact_mode,
@@ -1390,6 +1437,54 @@ SELECT d.doc_id,
 FROM dense d JOIN norms n USING (doc_id)
 GROUP BY d.doc_id
 ORDER BY d.doc_id
+"""
+
+    # composed-pipeline twin: quality filter -> exact dedup (min doc_id
+    # per text) -> hashed embedding -> cosine top-5, all recomputed in
+    # SQL. Normalized vectors make cosine = dot product; both engines
+    # sum the identical 6dp-rounded components left-to-right.
+    sql["pipeline_quality_dedup_embed_knn"] = r"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+quality AS (
+  SELECT doc_id, text FROM base
+  WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 5
+),
+dedup AS (
+  SELECT min(doc_id) AS doc_id, text FROM quality GROUP BY text
+),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM dedup
+),
+h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 16 AS bucket,
+         CASE WHEN CAST('0x' || substr(md5(term), 9, 1) AS INT) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS sign
+  FROM tok
+),
+sums AS (SELECT doc_id, bucket, sum(sign) AS v FROM h GROUP BY 1, 2),
+dense AS (
+  SELECT i.doc_id, b.b AS bucket, coalesce(s.v, 0.0) AS v
+  FROM (SELECT doc_id FROM dedup) i
+  CROSS JOIN range(0, 16) b(b)
+  LEFT JOIN sums s ON s.doc_id = i.doc_id AND s.bucket = b.b
+),
+norms AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM dense GROUP BY 1),
+vecs AS (
+  SELECT d.doc_id,
+         list(round(CASE WHEN n.n > 0 THEN d.v / n.n ELSE 0.0 END, 6)
+              ORDER BY d.bucket) AS e
+  FROM dense d JOIN norms n USING (doc_id)
+  GROUP BY d.doc_id
+),
+qv AS (SELECT e AS q FROM vecs WHERE doc_id = 0)
+SELECT v.doc_id, round(list_dot_product(v.e, qv.q), 4) AS cosine
+FROM vecs v CROSS JOIN qv
+ORDER BY cosine DESC, v.doc_id
+LIMIT 5
 """
 
     # incremental phrase twin: positional phrase BM25 over the LIVE
