@@ -855,18 +855,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
         )
         quality = docs.filter(words >= 5)
-        from pyspark.sql import Window as W
-
-        deduped = (
-            quality.withColumn(
-                "_rn",
-                F.row_number().over(
-                    W.partitionBy("text").orderBy(F.asc("doc_id"))
-                ),
-            )
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+        # keep-first dedup shuffles on md5(text) — a fixed-width key,
+        # never arbitrary-length text (functions/dedup.py)
+        from coa_codesearch_mcp_spark.functions.dedup import (
+            dedup_exact_keep_first,
         )
+
+        deduped = dedup_exact_keep_first(quality)
         emb = embed_texts(deduped, dim=16)
         qv = emb.filter(F.col("doc_id") == 0).select(
             F.col("embedding").alias("qv")
