@@ -851,8 +851,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = spark.read.parquet(f"{sf}/documents.parquet").filter(
             F.col("doc_id") < 200
         )
+        # explicit ASCII whitespace class: Java \s, RE2 \s and Python
+        # str.split disagree on \x0b / Unicode spaces (review finding)
         words = F.size(
-            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+            F.filter(
+                F.split(F.col("text"), r"[ \t\n\f\r]+"),
+                lambda x: x != F.lit(""),
+            )
         )
         quality = docs.filter(words >= 5)
         # keep-first dedup shuffles on md5(text) — a fixed-width key,
@@ -1407,7 +1412,7 @@ FROM px ORDER BY doc_id
 WITH ids AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
 tok AS (
   SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+         unnest(list_filter(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'),
                             x -> x <> '')) AS term
   FROM ids
 ),
@@ -1442,14 +1447,15 @@ ORDER BY d.doc_id
 WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
 quality AS (
   SELECT doc_id, text FROM base
-  WHERE len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) >= 5
+  WHERE len(list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'),
+                        x -> x <> '')) >= 5
 ),
 dedup AS (
   SELECT min(doc_id) AS doc_id, text FROM quality GROUP BY text
 ),
 tok AS (
   SELECT doc_id,
-         unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+         unnest(list_filter(regexp_split_to_array(lower(text), '[ \t\n\f\r]+'),
                             x -> x <> '')) AS term
   FROM dedup
 ),

@@ -126,8 +126,11 @@ def main() -> None:
     from coa_codesearch_mcp_spark.functions.embeddings import embed_texts
 
     def embed_all():
+        # aggregate over the embedding COLUMN — count(1) would let
+        # Catalyst prune the UDF projection entirely and time a bare
+        # row count (review finding, verified: zero UDF invocations)
         return embed_texts(docs, dim=64).agg(
-            F.count(F.lit(1)).alias("n")
+            F.sum(F.size("embedding")).alias("total_components")
         ).collect()
 
     timed("embed_hash_corpus", embed_all)

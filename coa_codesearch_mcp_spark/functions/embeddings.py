@@ -38,11 +38,31 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 
+# tokenizer whitespace class pinned EXPLICITLY: Python str.split,
+# Java regex \s and RE2 \s disagree on \x0b and Unicode whitespace
+# (review finding) — the embedding spec uses exactly this ASCII set
+# so the Spark UDF and the DuckDB twin can never diverge on exotic
+# corpora
+_WS = __import__("re").compile(r"[ \t\n\f\r]+")
+
+
+def _round_half_away(vec: np.ndarray, round_to: int) -> np.ndarray:
+    """Half-away-from-zero rounding — what DuckDB's round() does.
+    Python's round() is banker's (half-to-even): on an exact 6dp tie
+    like 1/128 = 0.0078125 the two disagree (0.007812 vs 0.007813)
+    and the value-for-value oracle would hash-mismatch (review
+    finding; latent on the current corpora, which have no ties)."""
+    scale = 10.0 ** round_to
+    return np.sign(vec) * np.floor(np.abs(vec) * scale + 0.5) / scale
+
+
 def _embed_series(texts: pd.Series, dim: int, round_to: int) -> pd.Series:
     out = []
     for text in texts:
         vec = np.zeros(dim, dtype=np.float64)
-        for tok in (text or "").lower().split():
+        for tok in _WS.split((text or "").lower()):
+            if not tok:
+                continue
             h = hashlib.md5(tok.encode("utf-8")).hexdigest()
             bucket = int(h[:8], 16) % dim
             sign = 1.0 if int(h[8], 16) % 2 == 0 else -1.0
@@ -50,7 +70,7 @@ def _embed_series(texts: pd.Series, dim: int, round_to: int) -> pd.Series:
         norm = float(np.sqrt((vec * vec).sum()))
         if norm > 0:
             vec = vec / norm
-        out.append([round(float(x), round_to) for x in vec])
+        out.append([float(x) for x in _round_half_away(vec, round_to)])
     return pd.Series(out)
 
 

@@ -165,13 +165,27 @@ class WriteLock:
             os.path.join(self.root, BREAK_MUTEX_NAME), os.O_CREAT | os.O_RDWR
         )
         try:
-            # BLOCKING flock: another breaker's critical section is a
-            # read + unlink (bounded small), and the kernel releases
-            # the mutex if its holder dies. A non-blocking probe with
-            # a 5 ms sleep burned acquire()'s bounded retries while a
-            # slow-filesystem breaker worked, spuriously failing a
-            # legitimately-stale break (review finding).
-            fcntl.flock(fd, fcntl.LOCK_EX)
+            # Bounded wait for the break mutex, WITHOUT consuming
+            # acquire()'s retries: another breaker's critical section
+            # is a read + unlink (normally milliseconds; the kernel
+            # releases the flock if its holder dies), so waiting here
+            # is right — but an UNBOUNDED blocking flock would hang
+            # every writer behind a breaker that stalls without dying
+            # (SIGSTOP, hung NFS — review finding). Deadline, then
+            # fail loudly.
+            deadline = time.monotonic() + 10.0
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if time.monotonic() >= deadline:
+                        raise LockHeldError(
+                            f"{self.path}: another stale-lock breaker "
+                            "has held the break mutex for >10s; "
+                            "refusing to wait indefinitely"
+                        )
+                    time.sleep(0.05)
             current = self._read(self.path)
             if current != info or not self._is_stale(current, self.path):
                 # replaced (or refreshed) since our first read — the new

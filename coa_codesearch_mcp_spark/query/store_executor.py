@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..index.store import IndexReader
 from .bm25 import idf_py
-from .wand import wand_topk
+from .wand import BOOTSTRAP_DF_RATIO, BOOTSTRAP_MIN_DF_FACTOR, wand_topk
 
 _RESULT_SCHEMA = "doc_id long, score double"
 
@@ -120,10 +120,9 @@ class StoreSearcher:
             .limit(k)
         )
 
-    # df skew above which the bootstrap pre-pass pays for itself: the
-    # rarest list must be at least this many times shorter than the
-    # most common one before an extra (tiny) job is worth launching
-    BOOTSTRAP_DF_RATIO = 8
+    # gate constants live in query/wand.py, shared with the live tier
+    BOOTSTRAP_DF_RATIO = BOOTSTRAP_DF_RATIO
+    BOOTSTRAP_MIN_DF_FACTOR = BOOTSTRAP_MIN_DF_FACTOR
 
     def _bootstrap_theta(
         self,
@@ -160,7 +159,10 @@ class StoreSearcher:
             return 0.0
         dfs = {t: info[t]["df"] for t in present}
         rare = min(present, key=lambda t: dfs[t])
-        if dfs[rare] < 4 * k or max(dfs.values()) < self.BOOTSTRAP_DF_RATIO * dfs[rare]:
+        if (
+            dfs[rare] < self.BOOTSTRAP_MIN_DF_FACTOR * k
+            or max(dfs.values()) < self.BOOTSTRAP_DF_RATIO * dfs[rare]
+        ):
             return 0.0
         idf, avgdl = info[rare]["idf"], self.reader.avgdl
 

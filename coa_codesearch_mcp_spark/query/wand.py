@@ -157,6 +157,17 @@ class WandStats:
     docs_scored: int = 0
 
 
+# Global-threshold-bootstrap gate, SHARED by the store and live-tier
+# executors (hoisted so a tuning edit cannot leave the two tiers
+# gated differently): the bootstrap pre-pass pays off when the rare
+# term's list is at least BOOTSTRAP_DF_RATIO times shorter than the
+# most common one, and the seed is only defined when the rare term
+# has at least BOOTSTRAP_MIN_DF_FACTOR * k postings (a term with
+# df < k can never allow pruning at all).
+BOOTSTRAP_DF_RATIO = 8
+BOOTSTRAP_MIN_DF_FACTOR = 4
+
+
 def wand_topk(
     term_blocks: dict[str, tuple[float, list[dict]]],
     avgdl: float,

@@ -323,6 +323,13 @@ class DeltaIndexManager:
             return self._apply_batch_locked(changes, delta_id)
 
     def _apply_batch_locked(self, changes: DataFrame, delta_id: int | None) -> dict:
+        # refuse to EXTEND a legacy uncorrected delta tier: stamping
+        # the layout after appending one new batch would mask the old
+        # deltas' missing correction rows and un-trip the query-side
+        # guard while their replaced docs still over-count (review
+        # finding) — the corrections this batch computes would also be
+        # derived from an already-wrong visibility baseline
+        self._require_corrections_layout()
         latest = (
             changes.withColumn(
                 "_rn",
@@ -710,9 +717,6 @@ class DeltaIndexManager:
         )
         return n_docs, avgdl, idfs, live_df, seg_df, all_blocks, tomb_by_range
 
-    # df skew above which the bootstrap pre-pass pays for itself —
-    # same gate as StoreSearcher.BOOTSTRAP_DF_RATIO
-    BOOTSTRAP_DF_RATIO = 8
 
     def _bootstrap_theta_live(
         self,
@@ -741,7 +745,15 @@ class DeltaIndexManager:
             return 0.0
         dfs = {t: live_df[t] for t in idfs}
         rare = min(dfs, key=lambda t: dfs[t])
-        if dfs[rare] < 4 * k or max(dfs.values()) < self.BOOTSTRAP_DF_RATIO * dfs[rare]:
+        from ..query.wand import (
+            BOOTSTRAP_DF_RATIO,
+            BOOTSTRAP_MIN_DF_FACTOR,
+        )
+
+        if (
+            dfs[rare] < BOOTSTRAP_MIN_DF_FACTOR * k
+            or max(dfs.values()) < BOOTSTRAP_DF_RATIO * dfs[rare]
+        ):
             return 0.0
         rare_idfs = {rare: idfs[rare]}
 
