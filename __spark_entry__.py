@@ -636,6 +636,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["slow", "hash", "batch"], k=10
         )
 
+    def q6_wildcard_wand(spark, sf):
+        return _store_searcher(spark, sf).search_wildcard("sp*", k=10)
+
+    def q7_fuzzy_wand(spark, sf):
+        return _store_searcher(spark, sf).search_fuzzy("sparkk", k=10)
+
+    def q8_regex_wand(spark, sf):
+        return _store_searcher(spark, sf).search_regexp("s.a.*", k=10)
+
     def q2_and_wand_multirange(spark, sf):
         # forces >=8 doc ranges at sf0.01: every range must require ALL
         # query terms, not just the terms present in that range
@@ -938,6 +947,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_or_bm25_wand": q3_or_wand,
         "q5_phrase_bm25_wand": q5_phrase_wand,
         "q5_phrase3_bm25_wand": q5_phrase3_wand,
+        "q6_wildcard_bm25_wand": q6_wildcard_wand,
+        "q7_fuzzy_bm25_wand": q7_fuzzy_wand,
+        "q8_regex_bm25_wand": q8_regex_wand,
         "q2_and_bm25_wand_multirange": q2_and_wand_multirange,
         "q4_not_bm25_wand_multirange": q4_not_wand_multirange,
         "q3_or_bootstrap_bm25": q3_or_bootstrap,
@@ -1337,6 +1349,9 @@ LIMIT 5
     sql["q3_or_bm25_wand"] = sql["q3_or_bm25"]
     sql["q5_phrase_bm25_wand"] = sql["q5_phrase_bm25"]
     sql["q5_phrase3_bm25_wand"] = sql["q5_phrase3_bm25"]
+    sql["q6_wildcard_bm25_wand"] = sql["q6_wildcard_bm25"]
+    sql["q7_fuzzy_bm25_wand"] = sql["q7_fuzzy_bm25"]
+    sql["q8_regex_bm25_wand"] = sql["q8_regex_bm25"]
 
     # incremental upsert/delete twin: BM25 over the LIVE corpus after
     # the same change batch the Spark side applies (upsert doc 7,
