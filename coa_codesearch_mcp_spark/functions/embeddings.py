@@ -29,6 +29,7 @@ so AnnIndex / knn / embedding-dedup consume these unchanged.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -45,6 +46,16 @@ from pyspark.sql.functions import pandas_udf
 # corpora
 _WS = __import__("re").compile(r"[ \t\n\f\r]+")
 
+# case folding pinned to ASCII A-Z only (round-4 ADVICE): Python
+# str.lower() applies full Unicode case mapping (İ -> i̇, Σ -> σ with
+# final-sigma rules) while DuckDB lower() follows ICU — they disagree
+# on exotic corpora and a single flipped token changes the bucket
+# sums. The embedding SPEC is therefore ASCII folding, implemented as
+# translate() on both engines.
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
 
 def _round_half_away(vec: np.ndarray, round_to: int) -> np.ndarray:
     """Half-away-from-zero rounding — what DuckDB's round() does.
@@ -60,14 +71,21 @@ def _embed_series(texts: pd.Series, dim: int, round_to: int) -> pd.Series:
     out = []
     for text in texts:
         vec = np.zeros(dim, dtype=np.float64)
-        for tok in _WS.split((text or "").lower()):
+        for tok in _WS.split((text or "").translate(_ASCII_LOWER)):
             if not tok:
                 continue
             h = hashlib.md5(tok.encode("utf-8")).hexdigest()
             bucket = int(h[:8], 16) % dim
             sign = 1.0 if int(h[8], 16) % 2 == 0 else -1.0
             vec[bucket] += sign
-        norm = float(np.sqrt((vec * vec).sum()))
+        # pre-normalization components are INTEGER counts (sums of
+        # ±1), so every square and partial sum is exactly
+        # representable below 2^53: the norm is the same bit-exact
+        # double under ANY summation order, on numpy and on DuckDB's
+        # sum() alike. math.fsum makes that independence explicit
+        # (round-4 ADVICE flagged pairwise-vs-sequential divergence at
+        # the 6dp rounding boundary; exact inputs close it outright).
+        norm = math.sqrt(math.fsum(float(x) * float(x) for x in vec))
         if norm > 0:
             vec = vec / norm
         out.append([float(x) for x in _round_half_away(vec, round_to)])
