@@ -635,18 +635,48 @@ class IndexReader:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
-        self.manifest = Manifest.load_or_create(root)
+        self._load_snapshot()
+
+    def _manifest_mtime_ns(self) -> int | None:
+        try:
+            return os.stat(os.path.join(self.root, "manifest.json")).st_mtime_ns
+        except OSError:
+            return None
+
+    def _load_snapshot(self) -> None:
+        # stat BEFORE parsing: if a commit lands between the stat and
+        # the load we record the older token and the next
+        # refresh_if_changed() re-reads — stale-token-fresh-stats is
+        # safe (one redundant reload), the reverse is not
+        self._snapshot_mtime_ns = self._manifest_mtime_ns()
+        self.manifest = Manifest.load_or_create(self.root)
         corpus = self.manifest.get_stats("corpus")
         if not corpus:
-            raise ValueError(f"no built index at {root}")
+            raise ValueError(f"no built index at {self.root}")
         if self.manifest.data.get("layout") != LAYOUT_VERSION:
             raise ValueError(
-                f"index at {root} uses layout "
+                f"index at {self.root} uses layout "
                 f"{self.manifest.data.get('layout')} != {LAYOUT_VERSION}; rebuild"
             )
         self.n_docs: int = corpus["n_docs"]
         self.avgdl: float = corpus["avgdl"]
         self.field: str = corpus["field"]
+        if hasattr(self, "_n_buckets"):
+            del self._n_buckets  # lazily re-read from the new config
+
+    def refresh_if_changed(self) -> int | None:
+        """Re-read manifest-derived corpus stats when the on-disk
+        snapshot moved (one stat, zero jobs), and return the current
+        snapshot token (manifest mtime_ns). Without this, a reader
+        constructed before an in-place rebuild kept serving the OLD
+        n_docs/avgdl/field against freshly re-read dictionary/postings
+        parquet — mixed-snapshot BM25 scores (round-4 ADVICE). The
+        parquet sides need no action: dictionary()/postings reads are
+        path-based and re-planned per query."""
+        current = self._manifest_mtime_ns()
+        if current != self._snapshot_mtime_ns:
+            self._load_snapshot()
+        return self._snapshot_mtime_ns
 
     def dictionary(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, "dictionary"))

@@ -44,15 +44,12 @@ class StoreSearcher:
         its keys so a hit is always snapshot-consistent: the reference
         serves TTL-stale hits after a rebuild (QueryCacheService.cs
         sliding expiration), which at 10^12 docs means up to 15 min of
-        wrong answers after every index commit."""
-        import os
-
-        try:
-            return os.stat(
-                os.path.join(self.reader.root, "manifest.json")
-            ).st_mtime_ns
-        except OSError:
-            return None
+        wrong answers after every index commit. The call also
+        REFRESHES the reader's manifest-cached corpus stats when the
+        snapshot moved, so the cache-miss re-execution runs against
+        the new n_docs/avgdl, not a mix of fresh parquet and
+        pre-rebuild stats (round-4 ADVICE)."""
+        return self.reader.refresh_if_changed()
 
     # ------------------------------------------------------ core path
 

@@ -137,10 +137,24 @@ def test_index_commit_invalidates_store_backed_hits(spark, tmp_path):
         spark.createDataFrame([(2, "alpha delta")], "doc_id long, text string")
     )
     IndexWriter(spark, root, cfg).build(docs_v2)
-    eng.searchers["content"] = StoreSearcher(IndexReader(spark, root))
+    # SAME searcher instance — no reconstruction. snapshot_token()
+    # must both orphan the cached rows AND refresh the reader's
+    # manifest-cached corpus stats, or the forced miss re-executes
+    # with pre-rebuild n_docs/avgdl against fresh parquet (round-4
+    # ADVICE: mixed-snapshot BM25 scores).
+    searcher = eng.searchers["content"]
+    assert searcher.reader.n_docs == 2  # stale until token refresh
     after = eng.search("alpha", mode="exact", k=5)
     assert not after.from_cache, "post-commit hit served stale snapshot"
     assert len(_rows(after)) == 3
+    assert searcher.reader.n_docs == 3, "reader stats not refreshed"
+    # scores through the retained searcher == scores through a fresh
+    # one: the re-execution ran fully on the new snapshot
+    fresh = TextSearchEngine(
+        {"content": StoreSearcher(IndexReader(spark, root))}, cache=None,
+        use_cache=False,
+    ).search("alpha", mode="exact", k=5)
+    assert _rows(after) == _rows(fresh)
 
 
 def test_expired_entry_reexecutes(documents):
