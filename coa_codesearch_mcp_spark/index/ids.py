@@ -87,11 +87,17 @@ def assign_dense_doc_ids(
     # rank keys inside each bucket with a JVM window: per-bucket sort
     # is spillable and touches ONLY the key column — never text/html
     rank = F.row_number().over(W.partitionBy("__bucket").orderBy(key_col))
-    offset_of_bucket = F.element_at(
-        F.array(*[F.lit(o) for o in offsets]), F.col("__bucket") + 1
+    # bucket offsets ride in as a BROADCAST (bucket, offset) relation,
+    # not an inline literal array: P is caller-fixed at 10^12-doc
+    # scale, and a tens-of-thousands-element F.array literal blows up
+    # the Catalyst plan and codegen while being re-evaluated per row
+    # (round-4 ADVICE). P rows broadcast once is the scalable shape.
+    offsets_df = docs.sparkSession.createDataFrame(
+        [(b, offsets[b]) for b in range(partitions)],
+        "__bucket int, __offset long",
     )
-    mapping = keys.select(
+    mapping = keys.join(F.broadcast(offsets_df), "__bucket").select(
         key_col,
-        (offset_of_bucket + rank - 1).cast("long").alias("doc_id"),
+        (F.col("__offset") + rank - 1).cast("long").alias("doc_id"),
     )
     return docs.join(mapping, key_col)
