@@ -90,6 +90,10 @@ from ..index.store import IndexConfig, IndexReader, IndexWriter
 
 _FOREVER = 1 << 62
 MAIN_SEG = 0
+# changed-doc count above which hidden-correction visibility resolves
+# via semi-joins instead of literal IN lists (round-4 ADVICE: O(batch)
+# literal expressions per plan cap practical batch size)
+_CORRECTIONS_ISIN_MAX = 10_000
 
 
 def _score_range_segments(
@@ -429,11 +433,23 @@ class DeltaIndexManager:
         between attempts (append + dedup would keep a stale first-
         attempt row that disagrees with the recomputation). Rows only
         count once their delta commits (partition-pruned isin), same
-        crash protocol as tombstones."""
+        crash protocol as tombstones.
+
+        Batch-size split (round-4 ADVICE): up to
+        ``_CORRECTIONS_ISIN_MAX`` changed docs the ids travel as
+        literal IN lists (parquet row-group min/max pruning, no
+        shuffle); above it every O(batch) literal expression would
+        bloat the Catalyst plan, so the id set stays a DataFrame and
+        visibility resolves through window + semi-joins
+        (_write_hidden_corrections_joined)."""
+        n_changed = latest.count()
+        if n_changed == 0:
+            return
+        if n_changed > _CORRECTIONS_ISIN_MAX:
+            self._write_hidden_corrections_joined(latest, delta_id)
+            return
         segs = self.segments()
         ids = [int(r["doc_id"]) for r in latest.select("doc_id").collect()]
-        if not ids:
-            return
         tomb_path = self._tombstone_path()
         committed = self._delta_ids()
         tomb_map: dict[int, int] = {}
@@ -530,6 +546,145 @@ class DeltaIndexManager:
             )
         finally:
             vis.unpersist()
+
+    def _write_hidden_corrections_joined(
+        self, latest: DataFrame, delta_id: int
+    ) -> None:
+        """Large-batch arm of _write_hidden_corrections: identical
+        semantics, but the changed-id set never collects to the driver
+        — per-doc winning tombstones resolve with a window, and each
+        segment's token read is filtered by a semi-join against the
+        (bounded, batch-sized) visible-id relation instead of a
+        literal IN list. The shuffle is proportional to the BATCH and
+        the batch docs' token rows, never the corpus."""
+        segs = self.segments()
+        ids_df = latest.select("doc_id").distinct().cache()
+        try:
+            tomb_path = self._tombstone_path()
+            committed = self._delta_ids()
+            if committed and os.path.exists(tomb_path):
+                tomb = (
+                    self.spark.read.parquet(tomb_path)
+                    .filter(F.col("issued_delta").isin(committed))
+                    .join(ids_df, "doc_id", "left_semi")
+                )
+                best = (
+                    tomb.withColumn(
+                        "_rn",
+                        F.row_number().over(
+                            W.partitionBy("doc_id").orderBy(
+                                F.desc("issued_delta")
+                            )
+                        ),
+                    )
+                    .filter(F.col("_rn") == 1)
+                    .select("doc_id", "issued_delta", "upto_seg")
+                )
+                gov = ids_df.join(best, "doc_id", "left")
+            else:
+                gov = ids_df.select(
+                    "doc_id",
+                    F.lit(None).cast("long").alias("issued_delta"),
+                    F.lit(None).cast("long").alias("upto_seg"),
+                )
+            gov = gov.cache()
+            try:
+                # governed by a NEWER committed delta -> born-hidden only
+                superseded = gov.filter(
+                    F.col("issued_delta") > delta_id
+                ).select("doc_id")
+                visible = gov.filter(
+                    F.col("issued_delta").isNull()
+                    | (F.col("issued_delta") <= delta_id)
+                )
+                per_seg = []
+                for seg_id, r in segs:
+                    vis_ids = visible.filter(
+                        F.col("upto_seg").isNull()
+                        | (F.col("upto_seg") <= F.lit(seg_id))
+                    ).select("doc_id")
+                    per_seg.append(
+                        self.spark.read.parquet(
+                            os.path.join(r.root, "tokens")
+                        )
+                        .join(vis_ids, "doc_id", "left_semi")
+                        .select(
+                            F.lit(seg_id).cast("long").alias("seg_id"),
+                            "doc_id",
+                            "dl",
+                            "tokens",
+                        )
+                    )
+                own_root = os.path.join(self._delta_root(delta_id), "tokens")
+                if os.path.exists(own_root):
+                    per_seg.append(
+                        self.spark.read.parquet(own_root)
+                        .join(superseded, "doc_id", "left_semi")
+                        .select(
+                            F.lit(delta_id).cast("long").alias("seg_id"),
+                            "doc_id",
+                            "dl",
+                            "tokens",
+                        )
+                    )
+                part = f"issued_delta={delta_id:06d}"
+                if not per_seg:
+                    import shutil
+
+                    for base in (
+                        self._hidden_df_path(),
+                        self._hidden_stats_path(),
+                    ):
+                        shutil.rmtree(
+                            os.path.join(base, part), ignore_errors=True
+                        )
+                    return
+                vis = per_seg[0]
+                for t in per_seg[1:]:
+                    vis = vis.unionByName(t)
+                vis = vis.cache()
+                try:
+                    if not vis.take(1):
+                        # replace any earlier attempt's rows with nothing
+                        # (same replay contract as the literal path)
+                        import shutil
+
+                        for base in (
+                            self._hidden_df_path(),
+                            self._hidden_stats_path(),
+                        ):
+                            shutil.rmtree(
+                                os.path.join(base, part), ignore_errors=True
+                            )
+                        return
+                    (
+                        vis.select(
+                            "seg_id", F.explode("tokens").alias("tok")
+                        )
+                        .groupBy("seg_id", F.col("tok.term").alias("term"))
+                        .agg(F.count(F.lit(1)).alias("hidden"))
+                        .select("term", "seg_id", "hidden")
+                        .write.mode("overwrite")
+                        .parquet(os.path.join(self._hidden_df_path(), part))
+                    )
+                    (
+                        vis.groupBy("seg_id")
+                        .agg(
+                            F.count(F.lit(1)).alias("hidden_docs"),
+                            F.sum("dl").alias("hidden_dl"),
+                        )
+                        .select("seg_id", "hidden_docs", "hidden_dl")
+                        .write.mode("overwrite")
+                        .parquet(
+                            os.path.join(self._hidden_stats_path(), part)
+                        )
+                    )
+                finally:
+                    vis.unpersist()
+            finally:
+                gov.unpersist()
+        finally:
+            ids_df.unpersist()
 
     def _require_corrections_layout(self) -> None:
         """Refuse to answer over a delta tier whose batches predate

@@ -429,6 +429,70 @@ def test_out_of_order_replay_keeps_df_exact(spark, mgr, tmp_path):
         assert hits(mgr, probe, k=40) == hits(fresh, probe, k=40), probe
 
 
+def test_joined_corrections_path_matches_rebuild(spark, mgr, tmp_path, monkeypatch):
+    """The large-batch corrections arm (semi-joins instead of literal
+    IN lists, round-4 ADVICE) must produce byte-identical visibility
+    accounting: threshold forced to 0 so EVERY batch takes the joined
+    path, then the full gauntlet — upsert removing a probe term,
+    delete, new doc, and an out-of-order replayed loser (born-hidden
+    arm) — must stay rebuild-exact."""
+    from coa_codesearch_mcp_spark.streaming import incremental as inc_mod
+    from coa_codesearch_mcp_spark.streaming.incremental import _url_doc_id
+
+    monkeypatch.setattr(inc_mod, "_CORRECTIONS_ISIN_MAX", 0)
+
+    url0 = "https://example.org/en/00000000.html"
+    url_del = "https://example.org/es/00000001.html"
+    url_rep = "https://example.org/en/00000002.html"
+    mgr.apply_batch(
+        _changes(
+            spark,
+            [
+                (url0, "upsert", "replacement text for doc zero", TS, TS),
+                (url_del, "delete", None, None, TS),
+                ("https://new.org/a.html", "upsert", "fresh spark window content", TS, TS),
+            ],
+        )
+    )
+    # out-of-order replay: loser batch lands AFTER the winner -> its
+    # own copy is born-hidden and must be accounted via the joined arm
+    a_id = mgr.reserve_delta_id()
+    mgr.apply_batch(
+        _changes(spark, [(url_rep, "upsert", "gammamarker winner text", TS, TS)])
+    )
+    mgr.apply_batch(
+        _changes(spark, [(url_rep, "upsert", "replaymarker loser words", TS, TS)]),
+        delta_id=a_id,
+    )
+    assert hits(mgr, ["replaymarker"]) == {}
+
+    pdf = generate_webpages_pdf(40, seed=42)
+    pdf = pdf[~pdf["url"].isin([url0, url_del, url_rep])]
+    live = spark.createDataFrame(pdf[["url", "warc_ts", "text"]])
+    extra = spark.createDataFrame(
+        [
+            (url0, TS, "replacement text for doc zero"),
+            ("https://new.org/a.html", TS, "fresh spark window content"),
+            (url_rep, TS, "gammamarker winner text"),
+        ],
+        "url string, warc_ts timestamp, text string",
+    )
+    live = live.unionByName(extra).withColumn("doc_id", _url_doc_id())
+    fresh = DeltaIndexManager(spark, str(tmp_path / "fresh_joined"), CFG)
+    fresh.init_main(live)
+
+    old_words = {
+        w.lower()
+        for i in (0, 1, 2)
+        for w in generate_webpages_pdf(40, seed=42)["text"][i].split()[:3]
+    }
+    probes = [["spark"], ["window", "content"], ["gammamarker"]] + [
+        [w] for w in sorted(old_words)
+    ]
+    for terms in probes:
+        assert hits(mgr, terms, k=40) == hits(fresh, terms, k=40), terms
+
+
 def test_legacy_delta_index_without_corrections_refused(spark, mgr):
     """A delta tier committed by a pre-correction version must FAIL
     LOUDLY, not silently over-count hidden copies in N/avgdl/df
