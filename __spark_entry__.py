@@ -28,6 +28,179 @@ K1, B = 1.2, 0.75
 INC_NEW_TEXT_7 = "pear plum quince entirely new page"
 INC_NEW_DOC_TEXT = "pear orchard notes and a quince recipe"
 
+# golden (field, doc_id, pos, term) rows for _CODE_CHAIN_FIXTURE,
+# pinned from the analyzer-chain goldens (do not regenerate from the
+# implementation under test)
+_CODE_CHAIN_GOLDEN_VALUES = """('content', 0, 0, 'public'),
+  ('content', 0, 1, 'int'),
+  ('content', 0, 2, 'getusercount'),
+  ('content', 0, 2, 'ge'),
+  ('content', 0, 2, 'tuse'),
+  ('content', 0, 2, 'rcount'),
+  ('content', 0, 3, '('),
+  ('content', 0, 4, ')'),
+  ('content', 0, 5, '{'),
+  ('content', 0, 6, 'return'),
+  ('content', 0, 7, '_usercount'),
+  ('content', 0, 7, 'usercount'),
+  ('content', 0, 8, ';'),
+  ('content', 0, 9, '}'),
+  ('content', 1, 0, 'camelcaseidentifier'),
+  ('content', 1, 0, 'came'),
+  ('content', 1, 0, 'lcas'),
+  ('content', 1, 0, 'eidentifier'),
+  ('content', 1, 1, 'xmlhttprequest'),
+  ('content', 1, 1, 'x'),
+  ('content', 1, 1, 'm'),
+  ('content', 1, 1, 'l'),
+  ('content', 1, 1, 'htt'),
+  ('content', 1, 1, 'prequest'),
+  ('content', 1, 2, 'parse_json2'),
+  ('content', 1, 2, 'parse'),
+  ('content', 1, 2, 'json2'),
+  ('content', 1, 3, 'ipv4address'),
+  ('content', 1, 3, 'i'),
+  ('content', 1, 3, 'pv'),
+  ('content', 1, 3, '4'),
+  ('content', 1, 3, 'address'),
+  ('content', 2, 0, 'def'),
+  ('content', 2, 1, 'compute_totals'),
+  ('content', 2, 1, 'compute'),
+  ('content', 2, 1, 'totals'),
+  ('content', 2, 2, '('),
+  ('content', 2, 3, 'data'),
+  ('content', 2, 4, ')'),
+  ('content', 2, 5, ': return'),
+  ('content', 2, 6, 'data'),
+  ('content', 2, 7, '.'),
+  ('content', 2, 8, 'sum'),
+  ('content', 2, 9, '('),
+  ('content', 2, 10, ')'),
+  ('content', 2, 11, '+'),
+  ('content', 2, 12, 'offset_42'),
+  ('content', 2, 12, 'offset'),
+  ('content', 2, 12, '42'),
+  ('content', 3, 0, 'for'),
+  ('content', 3, 1, '('),
+  ('content', 3, 2, 'int'),
+  ('content', 3, 3, 'i'),
+  ('content', 3, 4, '='),
+  ('content', 3, 5, '0'),
+  ('content', 3, 6, ';'),
+  ('content', 3, 7, 'i'),
+  ('content', 3, 8, '<'),
+  ('content', 3, 9, 'max_size'),
+  ('content', 3, 9, 'max'),
+  ('content', 3, 9, 'size'),
+  ('content', 3, 10, ';'),
+  ('content', 3, 11, '++'),
+  ('content', 3, 12, 'i'),
+  ('content', 3, 13, ')'),
+  ('content', 3, 14, 'total'),
+  ('content', 3, 15, '+='),
+  ('content', 3, 16, 'items'),
+  ('content', 3, 17, '[i]'),
+  ('content', 3, 18, '.'),
+  ('content', 3, 19, 'value'),
+  ('content', 3, 20, ';'),
+  ('content', 4, 0, 'split'),
+  ('content', 4, 1, 'here'),
+  ('content', 4, 2, 'and'),
+  ('content', 4, 3, 'also'),
+  ('content', 4, 4, 'there'),
+  ('content_symbols', 0, 0, 'public'),
+  ('content_symbols', 0, 1, 'int'),
+  ('content_symbols', 0, 2, 'getusercount'),
+  ('content_symbols', 0, 2, 'ge'),
+  ('content_symbols', 0, 2, 'tuse'),
+  ('content_symbols', 0, 2, 'rcount'),
+  ('content_symbols', 0, 3, 'return'),
+  ('content_symbols', 0, 4, '_usercount'),
+  ('content_symbols', 0, 4, 'usercount'),
+  ('content_symbols', 1, 0, 'camelcaseidentifier'),
+  ('content_symbols', 1, 0, 'came'),
+  ('content_symbols', 1, 0, 'lcas'),
+  ('content_symbols', 1, 0, 'eidentifier'),
+  ('content_symbols', 1, 1, 'xmlhttprequest'),
+  ('content_symbols', 1, 1, 'htt'),
+  ('content_symbols', 1, 1, 'prequest'),
+  ('content_symbols', 1, 2, 'parse_json2'),
+  ('content_symbols', 1, 2, 'parse'),
+  ('content_symbols', 1, 2, 'json2'),
+  ('content_symbols', 1, 3, 'ipv4address'),
+  ('content_symbols', 1, 3, 'pv'),
+  ('content_symbols', 1, 3, 'address'),
+  ('content_symbols', 2, 0, 'def'),
+  ('content_symbols', 2, 1, 'compute_totals'),
+  ('content_symbols', 2, 1, 'compute'),
+  ('content_symbols', 2, 1, 'totals'),
+  ('content_symbols', 2, 2, 'data'),
+  ('content_symbols', 2, 3, 'return'),
+  ('content_symbols', 2, 4, 'data'),
+  ('content_symbols', 2, 5, 'sum'),
+  ('content_symbols', 2, 6, 'offset_42'),
+  ('content_symbols', 2, 6, 'offset'),
+  ('content_symbols', 2, 6, '42'),
+  ('content_symbols', 3, 0, 'for'),
+  ('content_symbols', 3, 1, 'int'),
+  ('content_symbols', 3, 2, 'max_size'),
+  ('content_symbols', 3, 2, 'max'),
+  ('content_symbols', 3, 2, 'size'),
+  ('content_symbols', 3, 3, 'total'),
+  ('content_symbols', 3, 4, 'items'),
+  ('content_symbols', 3, 5, 'value'),
+  ('content_symbols', 4, 0, 'split'),
+  ('content_symbols', 4, 1, 'here'),
+  ('content_symbols', 4, 2, 'and'),
+  ('content_symbols', 4, 3, 'also'),
+  ('content_symbols', 4, 4, 'there'),
+  ('content_patterns', 0, 0, 'public'),
+  ('content_patterns', 0, 1, 'int'),
+  ('content_patterns', 0, 2, 'getusercount()'),
+  ('content_patterns', 0, 3, '{'),
+  ('content_patterns', 0, 4, 'return'),
+  ('content_patterns', 0, 5, '_usercount;'),
+  ('content_patterns', 0, 6, '}'),
+  ('content_patterns', 1, 0, 'camelcaseidentifier'),
+  ('content_patterns', 1, 1, 'xmlhttprequest'),
+  ('content_patterns', 1, 2, 'parse_json2'),
+  ('content_patterns', 1, 3, 'ipv4address'),
+  ('content_patterns', 2, 0, 'def'),
+  ('content_patterns', 2, 1, 'compute_totals(data):'),
+  ('content_patterns', 2, 2, 'return'),
+  ('content_patterns', 2, 3, 'data.sum()'),
+  ('content_patterns', 2, 4, '+'),
+  ('content_patterns', 2, 5, 'offset_42'),
+  ('content_patterns', 3, 0, 'for'),
+  ('content_patterns', 3, 1, '(int'),
+  ('content_patterns', 3, 2, 'i'),
+  ('content_patterns', 3, 3, '='),
+  ('content_patterns', 3, 4, '0;'),
+  ('content_patterns', 3, 5, 'i'),
+  ('content_patterns', 3, 6, '<'),
+  ('content_patterns', 3, 7, 'max_size;'),
+  ('content_patterns', 3, 8, '++i)'),
+  ('content_patterns', 3, 9, 'total'),
+  ('content_patterns', 3, 10, '+='),
+  ('content_patterns', 3, 11, 'items[i].value;'),
+  ('content_patterns', 4, 0, 'split'),
+  ('content_patterns', 4, 1, 'here'),
+  ('content_patterns', 4, 2, 'and'),
+  ('content_patterns', 4, 3, 'also'),
+  ('content_patterns', 4, 4, 'there')"""
+
+# pinned inputs for the code-chain driver entry: camelCase splits,
+# acronym runs, snake_case, operators, the TYPE_ANNOTATION arm and a
+# tab separator — each golden below is the analyze_positions output
+# the pytest golden suite pins (tests/test_tokenizer.py)
+_CODE_CHAIN_FIXTURE = [
+    (0, "public int getUserCount() { return _userCount; }"),
+    (1, "camelCaseIdentifier XMLHttpRequest parse_json2 IPv4Address"),
+    (2, "def compute_totals(data): return data.sum() + OFFSET_42"),
+    (3, "for (int i = 0; i < MAX_SIZE; ++i) total += items[i].value;"),
+    (4, "Split here and also\tthere"),
+]
+
 # search_rescored_blend synthesized-url vocabulary — shared verbatim
 # by the Spark query and its DuckDB twin (docs carry no url/warc_ts)
 _RESCORE_DIRS = ["src", "tests", "docs", "node_modules", "core", "examples"]
@@ -655,18 +828,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q8_regex_wand(spark, sf):
         return _store_searcher(spark, sf).search_regexp("s.a.*", k=10)
 
-    def q2_and_wand_multirange(spark, sf):
-        # forces >=8 doc ranges at sf0.01: every range must require ALL
-        # query terms, not just the terms present in that range
-        return _store_searcher(spark, sf, range_size=64).search_and(
-            ["spark", "stream"], k=10
+    def wand_multirange(spark, sf):
+        # AND + NOT probes across >=8 doc ranges at sf0.01, merged into
+        # one tagged entry (50-query harness cap): every range must
+        # require ALL query terms — not just the terms present in that
+        # range — and the exclude path must ban across ranges too
+        s = _store_searcher(spark, sf, range_size=64)
+        return s.search_and(["spark", "stream"], k=10).withColumn(
+            "probe", F.lit("and")
+        ).unionByName(
+            s.search_or(["spark"], k=10, exclude=["stream"]).withColumn(
+                "probe", F.lit("not")
+            )
         )
 
-    def q4_not_wand_multirange(spark, sf):
-        # exclude-path twin across ranges
-        return _store_searcher(spark, sf, range_size=64).search_or(
-            ["spark"], k=10, exclude=["stream"]
-        )
+    def code_chain_tokens(spark, sf):
+        """All three analyzer chains (T1-T6: CodeTokenizer /
+        StandardTokenizer / WhitespaceTokenizer + CamelCase +
+        LowerCase + Length filters) DISTRIBUTED over a pinned code
+        fixture, position-resolved — the driver-gate twin of the
+        pytest golden/property suites (round-4 VERDICT #7: the chain
+        was the one behavior without a hash-green oracle entry). The
+        oracle is a pinned VALUES table of the expected (field,
+        doc_id, pos, term) streams, including Lucene position
+        semantics (camel parts overlap their source token's position)
+        and the reference's TYPE_ANNOTATION quirk (': return' as one
+        token — CodeTokenizer.cs type-annotation arm). The
+        content_patterns arm runs the BUILT-IN whole-stage-codegen
+        tokenizer (udfs.tokens_col), so the JVM-regex/Python
+        whitespace parity is also under the gate."""
+        from coa_codesearch_mcp_spark.analysis.udfs import tokens_col
+
+        df = spark.createDataFrame(_CODE_CHAIN_FIXTURE, "doc_id long, text string")
+        parts = []
+        for field in ("content", "content_symbols", "content_patterns"):
+            parts.append(
+                df.select(
+                    F.lit(field).alias("field"),
+                    "doc_id",
+                    F.explode(tokens_col(field)).alias("tok"),
+                ).select(
+                    "field",
+                    "doc_id",
+                    F.col("tok.pos").cast("long").alias("pos"),
+                    F.col("tok.term").alias("term"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy("field", "doc_id", "pos", "term")
 
     def q3_or_bootstrap(spark, sf):
         """OR with the round-3 global threshold bootstrap FIRING: df
@@ -976,8 +1187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_wildcard_bm25_wand": q6_wildcard_wand,
         "q7_fuzzy_bm25_wand": q7_fuzzy_wand,
         "q8_regex_bm25_wand": q8_regex_wand,
-        "q2_and_bm25_wand_multirange": q2_and_wand_multirange,
-        "q4_not_bm25_wand_multirange": q4_not_wand_multirange,
+        "wand_multirange": wand_multirange,
+        "code_chain_tokens": code_chain_tokens,
         "q3_or_bootstrap_bm25": q3_or_bootstrap,
         "q2_and_bm25": q2_and,
         "q3_or_bm25": q3_or,
@@ -1427,8 +1638,22 @@ scored AS (
 SELECT url, round(score, 4) AS score
 FROM scored ORDER BY round(score, 4) DESC, url
 """
-    sql["q2_and_bm25_wand_multirange"] = sql["q2_and_bm25"]
-    sql["q4_not_bm25_wand_multirange"] = sql["q4_not_bm25"]
+    # multirange AND + NOT merged (one tagged entry, 50-query cap)
+    sql["wand_multirange"] = (
+        f"SELECT x.*, 'and' AS probe FROM ({sql['q2_and_bm25']}) x "
+        f"UNION ALL "
+        f"SELECT y.*, 'not' AS probe FROM ({sql['q4_not_bm25']}) y"
+    )
+    # code-chain twin: pinned golden token streams (VALUES) for all
+    # three analyzer chains over _CODE_CHAIN_FIXTURE — the DuckDB side
+    # carries the EXPECTED streams, the Spark side recomputes them
+    # distributed, so any tokenizer/filter drift hash-mismatches
+    sql["code_chain_tokens"] = (
+        "SELECT field, CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(pos AS BIGINT) AS pos, term FROM (VALUES\n  "
+        + _CODE_CHAIN_GOLDEN_VALUES
+        + "\n) AS t(field, doc_id, pos, term) ORDER BY field, doc_id, pos, term"
+    )
     # store-facade twins run the SAME plans over the WAND path — the
     # logical oracles are their spec
     sql["q12_exact_mode_store"] = sql["q12_exact_mode"]
