@@ -441,15 +441,18 @@ class DeltaIndexManager:
         shuffle); above it every O(batch) literal expression would
         bloat the Catalyst plan, so the id set stays a DataFrame and
         visibility resolves through window + semi-joins
-        (_write_hidden_corrections_joined)."""
-        n_changed = latest.count()
-        if n_changed == 0:
+        (_write_hidden_corrections_joined). The probe is a
+        limit-guarded collect — ONE job either way, and the driver
+        never holds more than threshold+1 ids even when the batch is
+        huge."""
+        probe = latest.select("doc_id").limit(_CORRECTIONS_ISIN_MAX + 1).collect()
+        if not probe:
             return
-        if n_changed > _CORRECTIONS_ISIN_MAX:
+        if len(probe) > _CORRECTIONS_ISIN_MAX:
             self._write_hidden_corrections_joined(latest, delta_id)
             return
         segs = self.segments()
-        ids = [int(r["doc_id"]) for r in latest.select("doc_id").collect()]
+        ids = [int(r["doc_id"]) for r in probe]
         tomb_path = self._tombstone_path()
         committed = self._delta_ids()
         tomb_map: dict[int, int] = {}
