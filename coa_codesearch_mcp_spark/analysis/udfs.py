@@ -14,7 +14,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.pandas.functions import pandas_udf
 
-from .chains import FIELD_CONTENT, FIELD_PATTERNS, FIELD_SYMBOLS, analyze_positions
+from .chains import (
+    FIELD_CONTENT,
+    FIELD_PATTERNS,
+    FIELD_SYMBOLS,
+    analyze,
+    analyze_positions,
+)
 
 TOKEN_SCHEMA = T.ArrayType(
     T.StructType(
@@ -68,6 +74,36 @@ def make_grouped_tokenizer_udf(field: str):
                 {"term": term, "tf": len(ps), "positions": ps}
                 for term, ps in groups.items()
             ]
+
+        return texts.map(one)
+
+    return tok
+
+
+# positions-free variant of GROUPED_TOKEN_SCHEMA for consumers that
+# never read positions (with_positions=False index builds): building
+# and Arrow-shipping the per-term position lists is pure overhead
+# there (guide §4.1 — pass only the columns the consumer needs)
+TF_TOKEN_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("term", T.StringType(), False),
+            T.StructField("tf", T.IntegerType(), False),
+        ]
+    )
+)
+
+
+def make_tf_tokenizer_udf(field: str):
+    @pandas_udf(TF_TOKEN_SCHEMA)
+    def tok(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return []
+            counts: dict[str, int] = {}
+            for term in analyze(field, t):
+                counts[term] = counts.get(term, 0) + 1
+            return [{"term": term, "tf": n} for term, n in counts.items()]
 
         return texts.map(one)
 

@@ -3,16 +3,34 @@
 Build pipeline (reference analog: FileIndexingService Phase 3 +
 Lucene IndexWriter, Services/FileIndexingService.cs:236-339):
 
-    docs --tokenize(field chain)--> (doc, term, pos)
-         --groupBy(term, doc)-->    postings(term, doc_id, tf, positions)
-         --groupBy(doc)-->          doclens(doc_id, dl)
+    docs --tokenize(field chain)--> per-doc token rows (ONE pass)
+         --explode-->               postings(term, doc_id, tf, positions, dl)
          --groupBy(term)-->         dictionary(term, df)
          --agg-->                   stats(n_docs, avgdl)
 
-Everything is built-in DataFrame ops: the groupBys are planned by
-Catalyst as partial (map-side) + final hash aggregations, so the only
-full shuffle is keyed on (term, doc_id) — the same "repartition by
-term" shuffle the materialized layout salts explicitly for hot terms.
+Round-6 optimization (guide §1.2/§2.3/§2.4 — fix the distributed
+algorithm first): the round-5 build evaluated the tokenizer in THREE
+independent plan subtrees (the postings groupBy, the doclens groupBy
+feeding a LeftOuter join, and the stats aggregate) and then paid a
+(term, doc_id) shuffle plus a postings⋈doclens join per build. Now:
+
+- ``dl`` is attached to each doc BEFORE any explode (it is row-local:
+  the emitted-token count of that doc), so the doclens join is GONE —
+  postings carry dl from birth and doclens is a plain projection;
+- for the Python analyzer chains the (term, doc) aggregation happens
+  INSIDE the Arrow-batched UDF (a doc's tokens are row-local — the
+  classic map-side combine done one level early), so the
+  (term, doc_id) collect_list shuffle is GONE too;
+- the tokenized per-doc relation is computed ONCE and persisted
+  (MEMORY_AND_DISK) for the lifetime of the index, so the stats pass,
+  the postings materialization and the dictionary aggregate share one
+  tokenizer evaluation instead of re-running it per subtree. This is
+  an intermediate of the build (recomputed from the parquet inputs on
+  every build call), not a cross-run cache.
+
+The whitespace chain (FIELD_PATTERNS) stays pure-JVM: one explode +
+one hash-aggregate shuffle keyed (doc_id, term, dl); the code-aware
+chains cross the Python boundary exactly once per doc.
 """
 
 from __future__ import annotations
@@ -46,12 +64,13 @@ def tokenize_docs(
 class LogicalIndex:
     """The four relations every query path consumes."""
 
-    postings: DataFrame  # term, doc_id, tf (long), positions array<int>
+    postings: DataFrame  # doc_id, term, tf (long), positions array<int>, dl
     doclens: DataFrame   # doc_id, dl (long)
     dictionary: DataFrame  # term, df (long)
     n_docs: int
     avgdl: float
     field: str
+    tokens: DataFrame | None = None  # per-doc tokenized rows (persisted)
 
     def cache(self) -> "LogicalIndex":
         self.postings.cache()
@@ -67,25 +86,73 @@ def build_logical_index(
     text_col: str = "text",
     with_positions: bool = True,
 ) -> LogicalIndex:
-    toks = tokenize_docs(docs, field, id_col, text_col)
+    if field == FIELD_PATTERNS:
+        # pure JVM chain: whole-stage codegen end to end. dl =
+        # size(token array) per doc, attached BEFORE the explode so no
+        # doclens join exists; size(NULL) is NULL (legacy sizeOfNull
+        # off), coalesced to 0 like the old fillna.
+        toks = tokens_col(field, text_col)
+        rows = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("dl"),
+            toks.alias("toks"),
+        ).persist()
+        exploded = rows.select(
+            "doc_id", "dl", F.explode("toks").alias("tok")
+        ).select(
+            "doc_id",
+            "dl",
+            F.col("tok.term").alias("term"),
+            F.col("tok.pos").alias("pos"),
+        )
+        agg = [F.count(F.lit(1)).alias("tf")]
+        if with_positions:
+            agg.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+        cols = ["doc_id", "term", "tf"]
+        if with_positions:
+            cols.append("positions")
+        cols.append("dl")
+        # dl rides as a grouping key (functionally dependent on
+        # doc_id) — the ONLY shuffle in the whole build
+        postings = exploded.groupBy("term", "doc_id", "dl").agg(*agg).select(*cols)
+    else:
+        # Python analyzer chain: tf/positions aggregated INSIDE the
+        # Arrow UDF (row-local), so postings need no shuffle at all —
+        # just an explode of the per-doc grouped array.
+        from ..analysis.udfs import make_grouped_tokenizer_udf, make_tf_tokenizer_udf
 
-    agg = [F.count(F.lit(1)).alias("tf")]
-    if with_positions:
-        agg.append(F.sort_array(F.collect_list("pos")).alias("positions"))
-    postings = toks.groupBy("term", "doc_id").agg(*agg)
+        if with_positions:
+            grouped_udf = make_grouped_tokenizer_udf(field)
+        else:
+            # skip building/shipping position lists entirely when the
+            # caller does not want them (guide §4.1: pass only what
+            # the boundary needs)
+            grouped_udf = make_tf_tokenizer_udf(field)
+        rows = docs.select(
+            F.col(id_col).alias("doc_id"),
+            grouped_udf(F.col(text_col)).alias("toks"),
+        ).withColumn(
+            "dl",
+            F.aggregate("toks", F.lit(0), lambda acc, x: acc + x["tf"]).cast(
+                "long"
+            ),
+        ).persist()
+        sel = [
+            "doc_id",
+            F.col("tok.term").alias("term"),
+            F.col("tok.tf").cast("long").alias("tf"),
+        ]
+        if with_positions:
+            sel.append(F.col("tok.positions").alias("positions"))
+        sel.append("dl")
+        postings = rows.select(
+            "doc_id", "dl", F.explode("toks").alias("tok")
+        ).select(*sel)
 
-    # dl counts every emitted token (Lucene field length norm input);
-    # docs with zero tokens still count toward N and avgdl.
-    doclens = (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")), "doc_id", "left")
-        .fillna(0, subset=["dl"])
-    )
-
-    # denormalize dl into the postings (one build-time join keyed on
-    # doc_id, so the query path never joins doclens — at 100 TB the
-    # doclens join would shuffle per query otherwise)
-    postings = postings.join(doclens, "doc_id")
+    # docs with zero tokens still count toward N and avgdl: rows has
+    # one entry per input doc (the tokenizer maps empty/null text to
+    # an empty array, not a dropped row).
+    doclens = rows.select("doc_id", "dl")
 
     dictionary = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
@@ -100,4 +167,5 @@ def build_logical_index(
         n_docs=int(stats["n"]),
         avgdl=float(stats["avgdl"] or 0.0),
         field=field,
+        tokens=rows,
     )

@@ -91,6 +91,24 @@ class IndexConfig:
 # (v2: bucket-partitioned dictionary; v3: idf-free block-max ub)
 LAYOUT_VERSION = 3
 
+# Pruned posting-read column sets (round-5 VERDICT #1 / guide §2.3,
+# §4.1: Spark cannot see which columns an applyInPandas function
+# touches, so an explicit select BEFORE the Arrow boundary is what
+# turns into parquet column pruning at the scan). Positions
+# (``pos_blob``, 2-3x the bytes of gaps+tfs) are only read by the
+# phrase matcher; every term/AND/OR/NOT scatter uses WAND_BLOCK_COLUMNS.
+# Reference analog: Lucene reads .doc (freqs) without touching .pos
+# for non-positional queries (postings format file separation).
+WAND_BLOCK_COLUMNS = [
+    "term", "range_id", "block_no", "first_doc", "last_doc", "n",
+    "doc_gaps", "tfs", "dls", "ub",
+]
+# phrase needs positions but never the block-max metadata
+PHRASE_BLOCK_COLUMNS = [
+    "term", "range_id", "block_no", "last_doc", "n",
+    "doc_gaps", "tfs", "dls", "pos_blob",
+]
+
 
 class IndexWriter:
     """Resumable index build (reference analog: index_workspace
@@ -718,17 +736,29 @@ class IndexReader:
             for r in rows
         }
 
-    def postings_blocks(self, terms: list[str]) -> tuple[DataFrame, dict[str, dict]]:
+    def postings_blocks(
+        self, terms: list[str], columns: list[str] | None = None
+    ) -> tuple[DataFrame, dict[str, dict]]:
         """Block rows for the given terms. Directory pruning on bucket
-        + parquet row-group pruning on the term predicate."""
+        + parquet row-group pruning on the term predicate.
+
+        ``columns``: optional projection (WAND_BLOCK_COLUMNS /
+        PHRASE_BLOCK_COLUMNS) so the parquet scan never reads posting
+        columns the consumer ignores — parquet is columnar, the
+        pruning is free, and the non-phrase scatter stops shipping the
+        positions blob through Arrow (round-5 VERDICT #1)."""
         info = self.lookup_terms(terms)
         buckets = sorted({v["bucket"] for v in info.values()})
         if not buckets:
             empty = self.spark.createDataFrame([], POSTING_SCHEMA)
+            if columns is not None:
+                empty = empty.select(*columns)
             return empty, info
         blocks = (
             self.spark.read.parquet(os.path.join(self.root, "postings"))
             .filter(F.col("bucket").isin(buckets))
             .filter(F.col("term").isin(sorted(info)))
         )
+        if columns is not None:
+            blocks = blocks.select(*columns)
         return blocks, info

@@ -62,7 +62,14 @@ class StoreSearcher:
     ) -> DataFrame:
         terms = sorted(set(terms))
         exclude = sorted(set(exclude or []))
-        blocks, info = self.reader.postings_blocks(terms + exclude)
+        # WAND never reads positions: prune pos_blob (and the other
+        # unused posting columns) out of the scan + Arrow scatter
+        # (round-5 VERDICT #1; guide §2.3 project-before-the-boundary)
+        from ..index.store import WAND_BLOCK_COLUMNS
+
+        blocks, info = self.reader.postings_blocks(
+            terms + exclude, columns=WAND_BLOCK_COLUMNS
+        )
         present = [t for t in terms if t in info]
         if not present or (mode == "and" and len(present) < len(terms)):
             return self._empty()
@@ -208,7 +215,11 @@ class StoreSearcher:
         if len(terms) == 1:
             return self.search_term(terms[0], k)
         uniq = sorted(set(terms))
-        blocks, info = self.reader.postings_blocks(uniq)
+        from ..index.store import PHRASE_BLOCK_COLUMNS
+
+        blocks, info = self.reader.postings_blocks(
+            uniq, columns=PHRASE_BLOCK_COLUMNS
+        )
         if any(t not in info for t in uniq):
             return self._empty()
         n = len(terms)

@@ -800,10 +800,16 @@ class DeltaIndexManager:
         return self._search(terms, k, "and", exclude)
 
     def _query_context(
-        self, terms: list[str], exclude: list[str]
+        self, terms: list[str], exclude: list[str],
+        columns: list[str] | None = None,
     ) -> tuple | None:
         """Shared driver-side planning for the live-tier scatter:
         (n_docs, avgdl, idfs, n_required?, tagged blocks DF, tomb DF).
+
+        ``columns``: optional posting-column projection (store.py
+        WAND_BLOCK_COLUMNS / PHRASE_BLOCK_COLUMNS) applied per segment
+        BEFORE the union + cogroup scatter, so non-phrase live queries
+        never read or Arrow-ship pos_blob (round-5 VERDICT #1).
 
         Live df is DICTIONARY ARITHMETIC — per-segment dictionary df
         minus the committed hidden-df corrections — with ZERO posting
@@ -843,6 +849,8 @@ class DeltaIndexManager:
                 .filter(F.col("bucket").isin(buckets))
                 .filter(F.col("term").isin(all_terms))
             )
+            if columns is not None:
+                blocks = blocks.select(*columns)
             tagged = blocks.withColumn("seg_id", F.lit(seg_id))
             all_blocks = (
                 tagged if all_blocks is None else all_blocks.unionByName(tagged)
@@ -961,9 +969,11 @@ class DeltaIndexManager:
         (apply_batch tombstones all prior copies of an upserted url):
         a doc's entire score comes from the segment holding that copy,
         so per-(range, segment) local top-k merge exactly."""
+        from ..index.store import WAND_BLOCK_COLUMNS
+
         terms = sorted(set(terms))
         exclude = sorted(set(exclude or []))
-        ctx = self._query_context(terms, exclude)
+        ctx = self._query_context(terms, exclude, columns=WAND_BLOCK_COLUMNS)
         if ctx is None:
             return self.spark.createDataFrame([], "doc_id long, score double")
         n_docs, avgdl, idfs, live_df, _seg_df, all_blocks, tomb_by_range = ctx
@@ -1015,11 +1025,12 @@ class DeltaIndexManager:
         (_score_range_segments) driver-side over the collected
         candidate blocks and returns (hits, WandStats) so tests and
         benches can assert real block skipping on the live tier."""
+        from ..index.store import WAND_BLOCK_COLUMNS
         from ..query.wand import WandStats
 
         terms = sorted(set(terms))
         exclude = sorted(set(exclude or []))
-        ctx = self._query_context(terms, exclude)
+        ctx = self._query_context(terms, exclude, columns=WAND_BLOCK_COLUMNS)
         if ctx is None:
             return [], WandStats()
         n_docs, avgdl, idfs, live_df, _seg_df, all_blocks, tomb_by_range = ctx
@@ -1065,8 +1076,10 @@ class DeltaIndexManager:
             raise ValueError("empty phrase")
         if len(terms) == 1:
             return self.search_or(terms, k)
+        from ..index.store import PHRASE_BLOCK_COLUMNS
+
         uniq = sorted(set(terms))
-        ctx = self._query_context(uniq, [])
+        ctx = self._query_context(uniq, [], columns=PHRASE_BLOCK_COLUMNS)
         if ctx is None:
             return self.spark.createDataFrame([], "doc_id long, score double")
         n_docs, avgdl, _idfs, _live_df, seg_df, all_blocks, tomb_by_range = ctx

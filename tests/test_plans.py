@@ -93,6 +93,83 @@ def test_store_query_prunes_buckets_and_terms(spark, documents, tmp_path, no_aqe
     assert "PushedFilters" in plan and "term" in plan, plan
 
 
+def test_wand_scatter_prunes_pos_blob(spark, documents, tmp_path, no_aqe):
+    """Round-5 VERDICT #1: the non-phrase WAND scatter must not read
+    or Arrow-ship the positions blob — its scan schema excludes
+    pos_blob (and the unused salt/max_tf/bucket metadata); only the
+    phrase path reads positions. Store tier AND live tier."""
+    from coa_codesearch_mcp_spark.index.store import (
+        IndexConfig,
+        IndexReader,
+        IndexWriter,
+    )
+    from coa_codesearch_mcp_spark.query.store_executor import StoreSearcher
+
+    root = str(tmp_path / "ix_posblob")
+    cfg = IndexConfig(
+        field="content_patterns", n_buckets=4, range_size=256, chunk_size=512,
+        salt_threshold=10_000,
+    )
+    IndexWriter(spark, root, cfg).build(documents.limit(200))
+    ss = StoreSearcher(IndexReader(spark, root))
+
+    for df in (
+        ss.search_term("spark", k=5),
+        ss.search_and(["spark", "stream"], k=5),
+        ss.search_or(["spark"], k=5, exclude=["stream"]),
+    ):
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+        assert "pos_blob" not in plan, plan
+        assert "max_tf" not in plan, plan
+    phrase_plan = (
+        ss.search_phrase(["fast", "key"], k=5)
+        ._jdf.queryExecution()
+        .sparkPlan()
+        .toString()
+    )
+    assert "pos_blob" in phrase_plan, phrase_plan
+
+
+def test_live_scatter_prunes_pos_blob(spark, documents, tmp_path, no_aqe):
+    """Same contract on the live tier: the cogrouped per-(range,
+    segment) scatter's posting scans exclude pos_blob for WAND
+    queries and include it only for phrases."""
+    from pyspark.sql import functions as F
+
+    from coa_codesearch_mcp_spark.index.store import IndexConfig
+    from coa_codesearch_mcp_spark.streaming.incremental import (
+        DeltaIndexManager,
+        _url_doc_id,
+    )
+
+    root = str(tmp_path / "inc_posblob")
+    cfg = IndexConfig(
+        field="content_patterns", n_buckets=4, range_size=1 << 58,
+        chunk_size=1 << 58, chunks_per_wave=32, salt_threshold=10_000,
+    )
+    docs = documents.limit(60).select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "text",
+    ).withColumn("doc_id", _url_doc_id())
+    mgr = DeltaIndexManager(spark, root, cfg)
+    mgr.init_main(docs)
+
+    plan = (
+        mgr.search_or(["spark", "stream"], k=5)
+        ._jdf.queryExecution()
+        .sparkPlan()
+        .toString()
+    )
+    assert "pos_blob" not in plan, plan
+    phrase_plan = (
+        mgr.search_phrase(["fast", "key"], k=5)
+        ._jdf.queryExecution()
+        .sparkPlan()
+        .toString()
+    )
+    assert "pos_blob" in phrase_plan, phrase_plan
+
+
 def test_store_phrase_plan_no_global_window(spark, documents, tmp_path, no_aqe):
     """Round-2 VERDICT #2: phrase df must not funnel all candidates
     through a single-partition global window. The plan must contain no
