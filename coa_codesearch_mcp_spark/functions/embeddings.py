@@ -67,17 +67,40 @@ def _round_half_away(vec: np.ndarray, round_to: int) -> np.ndarray:
     return np.sign(vec) * np.floor(np.abs(vec) * scale + 0.5) / scale
 
 
+# token -> (md5 32-bit prefix, sign): a pure-function memo of the md5
+# digest math (the per-token md5 dominated the round-5 profile). The
+# value is dim-independent (bucket = prefix % dim at use). Bounded and
+# deterministic — this caches arithmetic on the token string itself,
+# never any corpus-derived result, and survives across Arrow batches
+# on a reused Python worker (guide §4.5 heavyweight-state pattern).
+_MD5_MEMO: dict[str, tuple[int, float]] = {}
+_MD5_MEMO_MAX = 1 << 20
+
+
+def _token_feature(tok: str) -> tuple[int, float]:
+    v = _MD5_MEMO.get(tok)
+    if v is None:
+        h = hashlib.md5(tok.encode("utf-8")).hexdigest()
+        v = (int(h[:8], 16), 1.0 if int(h[8], 16) % 2 == 0 else -1.0)
+        if len(_MD5_MEMO) < _MD5_MEMO_MAX:
+            _MD5_MEMO[tok] = v
+    return v
+
+
 def _embed_series(texts: pd.Series, dim: int, round_to: int) -> pd.Series:
+    from collections import Counter
+
     out = []
     for text in texts:
         vec = np.zeros(dim, dtype=np.float64)
-        for tok in _WS.split((text or "").translate(_ASCII_LOWER)):
-            if not tok:
-                continue
-            h = hashlib.md5(tok.encode("utf-8")).hexdigest()
-            bucket = int(h[:8], 16) % dim
-            sign = 1.0 if int(h[8], 16) % 2 == 0 else -1.0
-            vec[bucket] += sign
+        # count duplicate tokens first so each distinct token hashes
+        # once; vec[bucket] += sign * count is exact (integer sums)
+        # and equals the one-increment-per-occurrence loop bit-for-bit
+        counts = Counter(_WS.split((text or "").translate(_ASCII_LOWER)))
+        counts.pop("", None)
+        for tok, cnt in counts.items():
+            prefix, sign = _token_feature(tok)
+            vec[prefix % dim] += sign * cnt
         # pre-normalization components are INTEGER counts (sums of
         # ±1), so every square and partial sum is exactly
         # representable below 2^53: the norm is the same bit-exact
@@ -88,7 +111,7 @@ def _embed_series(texts: pd.Series, dim: int, round_to: int) -> pd.Series:
         norm = math.sqrt(math.fsum(float(x) * float(x) for x in vec))
         if norm > 0:
             vec = vec / norm
-        out.append([float(x) for x in _round_half_away(vec, round_to)])
+        out.append(_round_half_away(vec, round_to).tolist())
     return pd.Series(out)
 
 

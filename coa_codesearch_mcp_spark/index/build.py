@@ -91,12 +91,16 @@ def build_logical_index(
         # size(token array) per doc, attached BEFORE the explode so no
         # doclens join exists; size(NULL) is NULL (legacy sizeOfNull
         # off), coalesced to 0 like the old fillna.
+        # NOT persisted: the whitespace chain is whole-stage-codegen
+        # JVM work, cheaper to recompute per consumer than to hold the
+        # tokenized corpus in storage memory (the Python chains below
+        # persist because re-running the UDF is the expensive part)
         toks = tokens_col(field, text_col)
         rows = docs.select(
             F.col(id_col).alias("doc_id"),
             F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("dl"),
             toks.alias("toks"),
-        ).persist()
+        )
         exploded = rows.select(
             "doc_id", "dl", F.explode("toks").alias("tok")
         ).select(

@@ -165,7 +165,20 @@ class IndexWriter:
         # (hashed doc ids are 62-bit)
         return F.expr(f"CAST(`{id_col}` DIV {self.cfg.chunk_size} AS LONG)")
 
-    def _tokenize_wave(self, docs: DataFrame, chunk_ids: list[int], id_col: str, text_col: str) -> dict:
+    # sizing floors for the scale-adaptive task counts below: enough
+    # rows per task to amortize scheduling + Arrow batch overhead,
+    # small enough that a task stays seconds even on slow chains
+    DOCS_PER_TOKENIZE_TASK = 256
+    TOKENS_PER_ENCODE_TASK = 100_000
+
+    def _tokenize_wave(
+        self,
+        docs: DataFrame,
+        chunk_ids: list[int],
+        id_col: str,
+        text_col: str,
+        wave_docs_hint: int | None = None,
+    ) -> dict:
         cfg = self.cfg
         wave_docs = docs.filter(self._chunk_col(id_col).isin(chunk_ids))
         # ONE light shuffle of (id, text) keyed by (chunk, sub-split)
@@ -179,9 +192,24 @@ class IndexWriter:
         # partitionBy write then fans out to at most `sub` files per
         # chunk dir (bounded, NOT tasks x chunks). html blobs and
         # unrelated columns are projected away before the shuffle.
+        #
+        # Round-6: the count is SCALE-ADAPTIVE (guide §2.5/§6) — sized
+        # to the wave's measured doc count (tokenize_stage already
+        # collected per-chunk counts, so the hint is free), capped at
+        # 4x effective cores. A 50-doc micro-batch runs 1 task instead
+        # of 4x-cores near-empty ones; a billion-doc wave still fills
+        # the cluster (the cap binds long before the floor does).
         target = cfg.tokenize_tasks or max(
             len(chunk_ids), 4 * self.spark.sparkContext.defaultParallelism
         )
+        if cfg.tokenize_tasks is None and wave_docs_hint is not None:
+            target = min(
+                target,
+                max(
+                    len(chunk_ids),
+                    -(-wave_docs_hint // self.DOCS_PER_TOKENIZE_TASK),
+                ),
+            )
         sub = max(1, -(-target // len(chunk_ids)))  # ceil
         tok_input = wave_docs.select(F.col(id_col), F.col(text_col)).repartition(
             len(chunk_ids) * sub,
@@ -315,7 +343,13 @@ class IndexWriter:
         for i in range(0, len(todo), cfg.chunks_per_wave):
             wave = todo[i : i + cfg.chunks_per_wave]
             t0 = time.perf_counter()
-            metrics = self._tokenize_wave(docs, wave, id_col, text_col)
+            metrics = self._tokenize_wave(
+                docs,
+                wave,
+                id_col,
+                text_col,
+                wave_docs_hint=sum(chunk_counts[c] for c in wave),
+            )
             dt = time.perf_counter() - t0
             for c in wave:
                 self.manifest.record_unit(
@@ -339,6 +373,30 @@ class IndexWriter:
             self.manifest.commit()
 
     # --------------------------------------------- stage 2: dictionary
+
+    def _tokens_total_hint(self) -> int:
+        """Corpus token volume from per-wave manifest lineage (each
+        wave observed its own count on the write job) — 0 when any
+        wave predates the metric, so callers fall back to the
+        non-adaptive default."""
+        units = self.manifest.stage("tokens")["units"]
+        per_wave: dict[str, int] = {}
+        for u in units.values():
+            if "wave_tokens" not in u:
+                return 0
+            per_wave[u.get("wave_id", "w")] = u["wave_tokens"]
+        return sum(per_wave.values())
+
+    def _adaptive_bucket_tasks(self, n_dirs: int) -> int:
+        """Write-task count for a bucket-partitioned table: one task
+        per bucket dir at scale, fewer when the measured token volume
+        says the whole table is tiny (a micro-batch delta writes its
+        16 bucket dirs from 1 task instead of 16 near-empty ones —
+        guide §6 small-files/task-overhead)."""
+        total = self._tokens_total_hint()
+        if not total:
+            return n_dirs
+        return min(n_dirs, max(1, -(-total // self.TOKENS_PER_ENCODE_TASK)))
 
     def dictionary_stage(self) -> None:
         if "dictionary" in self.manifest.completed_units("dictionary"):
@@ -374,8 +432,8 @@ class IndexWriter:
         obs = Observation()
         (
             dictionary.observe(obs, F.count(F.lit(1)).alias("n_terms"))
-            .repartition(cfg.n_buckets, "bucket")
-            .sortWithinPartitions("term")
+            .repartition(self._adaptive_bucket_tasks(cfg.n_buckets), "bucket")
+            .sortWithinPartitions("bucket", "term")
             .write.partitionBy("bucket")
             .mode("overwrite")
             .parquet(os.path.join(self.root, "dictionary"))
@@ -510,8 +568,19 @@ class IndexWriter:
         # AQE's byte-based coalescing can't shrink the Python-UDF
         # encode stage (encode cost is CPU per group, not bytes);
         # groupBy on the same keys reuses the partitioning — one
-        # shuffle total.
+        # shuffle total. Round-6: scale-adaptive like the tokenize
+        # stage — sized to the corpus token volume (already measured
+        # by the dictionary stage's Observation, so the hint is free),
+        # capped at 2x effective cores. A micro-batch delta encodes in
+        # one task; a web-scale corpus still saturates the cluster.
         n_enc = cfg.encode_tasks or 2 * self.spark.sparkContext.defaultParallelism
+        if cfg.encode_tasks is None:
+            total_tokens = int(corpus.get("total_tokens") or 0)
+            if total_tokens:
+                n_enc = min(
+                    n_enc,
+                    max(1, -(-total_tokens // self.TOKENS_PER_ENCODE_TASK)),
+                )
         encoded = (
             base.select(*cols)
             .repartition(n_enc, "term", "salt")
@@ -528,8 +597,8 @@ class IndexWriter:
         self._clear_stale_partitions("postings", "bucket", todo)
         (
             encoded.observe(obs, F.count(F.lit(1)).alias("blocks"))
-            .repartition(len(todo), "bucket")
-            .sortWithinPartitions("term", "salt", "range_id", "block_no")
+            .repartition(self._adaptive_bucket_tasks(len(todo)), "bucket")
+            .sortWithinPartitions("bucket", "term", "salt", "range_id", "block_no")
             .write.partitionBy("bucket")
             .mode("append")
             .parquet(os.path.join(self.root, "postings"))
@@ -601,6 +670,7 @@ class IndexWriter:
                         "inputs": {"kind": "segment-merge"},
                         "wave_id": f"wave_{min(wave)}",
                         "wave_docs": metrics["n_docs"],
+                        "wave_tokens": metrics.get("n_tokens", 0),
                         "wave_secs": round(dt, 3),
                     },
                 )

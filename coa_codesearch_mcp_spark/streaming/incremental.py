@@ -352,7 +352,14 @@ class DeltaIndexManager:
             latest.unpersist()
 
     def _apply_cached(self, latest: DataFrame, delta_id: int | None) -> dict:
-        n_events = latest.count()
+        # one job for both counters (round-6: the separate count() per
+        # relation was two full jobs per micro-batch); this also
+        # materializes the latest-events cache for everything below
+        counts = latest.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("op") == "upsert", 1)).alias("n_up"),
+        ).first()
+        n_events, n_upserts = int(counts["n"]), int(counts["n_up"])
         if n_events == 0:
             return {"events": 0}
 
@@ -365,7 +372,6 @@ class DeltaIndexManager:
         upserts = latest.filter(F.col("op") == "upsert").select(
             "doc_id", "url", "text", "warc_ts"
         )
-        n_upserts = upserts.count()
         if n_upserts > 0:
             IndexWriter(self.spark, self._delta_root(delta_id), self.cfg).build(
                 upserts, id_col="doc_id", text_col="text"
