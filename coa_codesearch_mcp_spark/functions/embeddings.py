@@ -136,7 +136,12 @@ def embed_texts(
     through the signed hashing trick, L2-normalized. Rounding pins the
     values for cross-engine comparison (and keeps parquet output
     stable); 6 decimals ≫ the float32 precision a model would give."""
-    return df.select(
+    from ..index.build import spread_input
+
+    # unsplittable-input guard (guide §2.5): a single-row-group corpus
+    # would run the embedding UDF on 1-2 cores; no-op at real scale
+    src = spread_input(df.select(F.col(id_col), F.col(text_col)))
+    return src.select(
         F.col(id_col),
         hashed_embedding_udf(dim, round_to)(F.col(text_col)).alias("embedding"),
     )

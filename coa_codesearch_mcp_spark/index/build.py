@@ -44,6 +44,23 @@ from ..analysis.chains import FIELD_PATTERNS
 from ..analysis.udfs import tokens_col
 
 
+def spread_input(df: DataFrame) -> DataFrame:
+    """Unsplittable-input guard (guide §2.5 input skew): a single-file
+    / single-row-group corpus scans as 1-2 partitions, which would
+    serialize every downstream tokenizer pass on one or two cores no
+    matter how many the cluster has. Repartition up to the session's
+    default parallelism ONLY when the scan is narrower than that — at
+    real scale the scan has plenty of splits and this adds nothing
+    (no shuffle). The shuffle this introduces on tiny inputs moves the
+    (id, text) projection once, strictly cheaper than the serialized
+    tokenize it prevents."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def tokenize_docs(
     docs: DataFrame,
     field: str = FIELD_PATTERNS,
@@ -86,6 +103,9 @@ def build_logical_index(
     text_col: str = "text",
     with_positions: bool = True,
 ) -> LogicalIndex:
+    src = spread_input(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    )
     if field == FIELD_PATTERNS:
         # pure JVM chain: whole-stage codegen end to end. dl =
         # size(token array) per doc, attached BEFORE the explode so no
@@ -95,9 +115,9 @@ def build_logical_index(
         # JVM work, cheaper to recompute per consumer than to hold the
         # tokenized corpus in storage memory (the Python chains below
         # persist because re-running the UDF is the expensive part)
-        toks = tokens_col(field, text_col)
-        rows = docs.select(
-            F.col(id_col).alias("doc_id"),
+        toks = tokens_col(field, "text")
+        rows = src.select(
+            "doc_id",
             F.coalesce(F.size(toks), F.lit(0)).cast("long").alias("dl"),
             toks.alias("toks"),
         )
@@ -132,9 +152,9 @@ def build_logical_index(
             # caller does not want them (guide §4.1: pass only what
             # the boundary needs)
             grouped_udf = make_tf_tokenizer_udf(field)
-        rows = docs.select(
-            F.col(id_col).alias("doc_id"),
-            grouped_udf(F.col(text_col)).alias("toks"),
+        rows = src.select(
+            "doc_id",
+            grouped_udf(F.col("text")).alias("toks"),
         ).withColumn(
             "dl",
             F.aggregate("toks", F.lit(0), lambda acc, x: acc + x["tf"]).cast(
