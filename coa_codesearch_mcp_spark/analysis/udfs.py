@@ -94,6 +94,91 @@ TF_TOKEN_SCHEMA = T.ArrayType(
 )
 
 
+GROUPED_TOKENS_ARROW_SCHEMA = (
+    "doc_id long, "
+    "tokens array<struct<term:string,tf:int,positions:array<int>>>, "
+    "dl long"
+)
+
+
+def grouped_tokens_arrow(
+    df,
+    field: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_positions: bool = True,
+):
+    """mapInArrow twin of make_grouped_tokenizer_udf: same per-doc
+    grouped output (doc_id, tokens array<struct<term,tf,positions>>,
+    dl), but the nested Arrow arrays are built DIRECTLY from flat
+    buffers + offset arrays (guide §4.2) instead of pandas lists of
+    dicts — the dict-per-token construction and pandas->Arrow nested
+    conversion dominated the tokenize profile, not the analyzer chain
+    itself. with_positions=False emits empty position lists without
+    collecting positions at all."""
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    from .chains import analyze, analyze_positions
+
+    def fn(batches):
+        for b in batches:
+            ids = b.column(0)
+            texts = b.column(1).to_pylist()
+            tok_offsets = [0]
+            terms: list[str] = []
+            tfs: list[int] = []
+            pos_flat: list[int] = []
+            pos_offsets = [0]
+            dls: list[int] = []
+            for t in texts:
+                dl = 0
+                if t is not None:
+                    if with_positions:
+                        groups: dict[str, list[int]] = {}
+                        for term, pos in analyze_positions(field, t):
+                            groups.setdefault(term, []).append(pos)
+                        for term, ps in groups.items():
+                            terms.append(term)
+                            tfs.append(len(ps))
+                            dl += len(ps)
+                            pos_flat.extend(ps)
+                            pos_offsets.append(len(pos_flat))
+                    else:
+                        counts: dict[str, int] = {}
+                        for term in analyze(field, t):
+                            counts[term] = counts.get(term, 0) + 1
+                        for term, n in counts.items():
+                            terms.append(term)
+                            tfs.append(n)
+                            dl += n
+                            pos_offsets.append(len(pos_flat))
+                tok_offsets.append(len(terms))
+                dls.append(dl)
+            positions = pa.ListArray.from_arrays(
+                pa.array(pos_offsets, pa.int32()),
+                pa.array(pos_flat, pa.int32()),
+            )
+            struct = pa.StructArray.from_arrays(
+                [pa.array(terms, pa.string()), pa.array(tfs, pa.int32()), positions],
+                names=["term", "tf", "positions"],
+            )
+            tokens = pa.ListArray.from_arrays(
+                pa.array(tok_offsets, pa.int32()), struct
+            )
+            yield pa.RecordBatch.from_arrays(
+                [ids, tokens, pa.array(dls, pa.int64())],
+                ["doc_id", "tokens", "dl"],
+            )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+    )
+    return src.mapInArrow(fn, GROUPED_TOKENS_ARROW_SCHEMA)
+
+
 def make_tf_tokenizer_udf(field: str):
     @pandas_udf(TF_TOKEN_SCHEMA)
     def tok(texts: pd.Series) -> pd.Series:

@@ -141,26 +141,16 @@ def build_logical_index(
         postings = exploded.groupBy("term", "doc_id", "dl").agg(*agg).select(*cols)
     else:
         # Python analyzer chain: tf/positions aggregated INSIDE the
-        # Arrow UDF (row-local), so postings need no shuffle at all —
-        # just an explode of the per-doc grouped array.
-        from ..analysis.udfs import make_grouped_tokenizer_udf, make_tf_tokenizer_udf
+        # Arrow boundary (row-local), so postings need no shuffle at
+        # all — just an explode of the per-doc grouped array. The
+        # nested Arrow arrays are built from flat buffers (guide §4.2,
+        # no dict-per-token pandas conversion); position lists are
+        # skipped outright when the caller does not want them.
+        from ..analysis.udfs import grouped_tokens_arrow
 
-        if with_positions:
-            grouped_udf = make_grouped_tokenizer_udf(field)
-        else:
-            # skip building/shipping position lists entirely when the
-            # caller does not want them (guide §4.1: pass only what
-            # the boundary needs)
-            grouped_udf = make_tf_tokenizer_udf(field)
-        rows = src.select(
-            "doc_id",
-            grouped_udf(F.col("text")).alias("toks"),
-        ).withColumn(
-            "dl",
-            F.aggregate("toks", F.lit(0), lambda acc, x: acc + x["tf"]).cast(
-                "long"
-            ),
-        ).persist()
+        rows = grouped_tokens_arrow(
+            src, field, with_positions=with_positions
+        ).withColumnRenamed("tokens", "toks").persist()
         sel = [
             "doc_id",
             F.col("tok.term").alias("term"),

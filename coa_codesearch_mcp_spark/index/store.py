@@ -218,35 +218,22 @@ class IndexWriter:
         )
 
         # per-doc pre-aggregated postings: the (term, doc) aggregation
-        # happens INSIDE the tokenizer UDF (a doc's tokens are
+        # happens INSIDE the tokenizer boundary (a doc's tokens are
         # row-local), so the tokens wave is a MAP-ONLY job — no
         # groupBy/collect_list shuffle. One nested row per doc:
-        # (doc_id, dl, tokens: array<struct<term, tf, positions>>).
-        from ..analysis.udfs import make_grouped_tokenizer_udf
+        # (doc_id, dl, tokens: array<struct<term, tf, positions>>),
+        # built as Arrow arrays directly from flat buffers (round-6:
+        # the pandas dict-per-token path dominated this stage's
+        # profile — guide §4.2).
+        from ..analysis.udfs import grouped_tokens_arrow
 
-        grouped_udf = make_grouped_tokenizer_udf(cfg.field)
-        rows = tok_input.select(
-            F.col(id_col).alias("doc_id"),
-            grouped_udf(F.col(text_col)).alias("tokens"),
-        ).withColumn(
-            "dl",
-            F.aggregate(
-                "tokens", F.lit(0), lambda acc, x: acc + x["tf"]
-            ).cast("long"),
-        )
-        if not cfg.with_positions:
-            rows = rows.withColumn(
-                "tokens",
-                F.transform(
-                    "tokens",
-                    lambda x: F.struct(
-                        x["term"].alias("term"),
-                        x["tf"].alias("tf"),
-                        F.array().cast("array<int>").alias("positions"),
-                    ),
-                ),
-            )
-        rows = rows.withColumn("chunk_id", self._chunk_col())
+        rows = grouped_tokens_arrow(
+            tok_input,
+            cfg.field,
+            id_col=id_col,
+            text_col=text_col,
+            with_positions=cfg.with_positions,
+        ).withColumn("chunk_id", self._chunk_col())
         return self._write_token_wave(rows, chunk_ids)
 
     def _clear_stale_partitions(self, table: str, part_col: str, ids: list) -> None:
