@@ -78,6 +78,10 @@ import uuid
 LOCK_NAME = "write.lock"
 BREAK_MUTEX_NAME = ".write.lock.break"
 
+# distinct "present but unreadable" marker (round-5 ADVICE): EACCES /
+# transient EIO must not be conflated with an absent lock file
+_UNREADABLE = object()
+
 
 class LockHeldError(RuntimeError):
     pass
@@ -255,7 +259,20 @@ class WriteLock:
             try:
                 fd = self._open_break_mutex()
             except LockHeldError:
-                fd = None  # wedged mutex: best-effort unguarded release
+                # wedged mutex: best-effort unguarded release. Loud
+                # (round-5 ADVICE): this path reintroduces the
+                # breaker/release race the mutex closes, so operators
+                # must be able to see when it ran.
+                import warnings
+
+                warnings.warn(
+                    f"{self.path}: break mutex wedged >10s; releasing "
+                    "WITHOUT the breaker mutex (unguarded "
+                    "check-then-unlink fallback)",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                fd = None
             try:
                 owner = self._parse(self._read_raw(self.path))
                 if owner and owner.get("token") == self._token:
@@ -303,24 +320,32 @@ class WriteLock:
 
     # ------------------------------------------------------- internal
 
-    def _read_raw(self, path: str) -> bytes | None:
-        """Raw lock-file bytes, or None when ABSENT. Raw bytes (not
-        the parsed dict) are what break/release identity-compare:
-        ``None`` must mean exactly one thing — no file at the path —
-        because the round-4 break race came from conflating absent
-        with unreadable (both parsed to None, so an absent-file
-        verdict flowed into the unlink arm)."""
+    def _read_raw(self, path: str):
+        """Raw lock-file bytes, None when ABSENT, or the _UNREADABLE
+        sentinel when present-but-unreadable (EACCES, transient EIO).
+        Raw bytes (not the parsed dict) are what break/release
+        identity-compare: ``None`` must mean exactly one thing — no
+        file at the path — because the round-4 break race came from
+        conflating absent with unreadable (both parsed to None, so an
+        absent-file verdict flowed into the unlink arm). The round-5
+        ADVICE liveness fix is the other direction: an unreadable
+        PRESENT lock must not take the absent arm either (acquire
+        would spin its 8 retries and give up on a lock the mtime
+        fallback could legitimately break) — it routes to
+        _is_stale(None) = file-mtime staleness instead."""
         try:
             with open(path, "rb") as f:
                 return f.read()
-        except OSError:
+        except FileNotFoundError:
             return None
+        except OSError:
+            return _UNREADABLE
 
-    def _parse(self, raw: bytes | None) -> dict | None:
-        """Owner record from raw bytes; None for absent OR corrupt
-        (staleness of a corrupt-but-present file falls back to file
-        mtime in _is_stale)."""
-        if raw is None:
+    def _parse(self, raw) -> dict | None:
+        """Owner record from raw bytes; None for absent, unreadable OR
+        corrupt (staleness of an unreadable/corrupt-but-present file
+        falls back to file mtime in _is_stale)."""
+        if raw is None or raw is _UNREADABLE:
             return None
         try:
             return json.loads(raw)

@@ -269,7 +269,14 @@ class DeltaIndexManager:
             raw.withColumn(
                 "_rn",
                 F.row_number().over(
-                    W.partitionBy("doc_id").orderBy(F.desc("issued_delta"))
+                    # desc(upto_seg) secondary: deterministic winner if
+                    # two rows for one doc ever shared an issued_delta
+                    # (cannot happen under the protocol — one tombstone
+                    # per doc per delta — but the tie must not be
+                    # planner-dependent; round-5 ADVICE)
+                    W.partitionBy("doc_id").orderBy(
+                        F.desc("issued_delta"), F.desc("upto_seg")
+                    )
                 ),
             )
             .filter(F.col("_rn") == 1)
@@ -476,7 +483,11 @@ class DeltaIndexManager:
             for r in raw:
                 d = int(r["doc_id"])
                 key = (int(r["issued_delta"]), int(r["upto_seg"]))
-                if d not in best or key[0] > best[d][0]:
+                # lexicographic: issued_delta first, upto_seg as the
+                # deterministic tie-break — mirrors the joined arm's
+                # window orderBy (round-5 ADVICE: the two arms must
+                # pick the same winner at the threshold boundary)
+                if d not in best or key > best[d]:
                     best[d] = key
             tomb_map = {d: upto for d, (_, upto) in best.items()}
             last_issued = {d: iss for d, (iss, _) in best.items()}
@@ -582,7 +593,9 @@ class DeltaIndexManager:
                         "_rn",
                         F.row_number().over(
                             W.partitionBy("doc_id").orderBy(
-                                F.desc("issued_delta")
+                                # deterministic tie-break mirrored from
+                                # the literal arm (round-5 ADVICE)
+                                F.desc("issued_delta"), F.desc("upto_seg")
                             )
                         ),
                     )
@@ -724,28 +737,6 @@ class DeltaIndexManager:
         except OSError:
             return False
 
-    def _hidden_df_map(self, terms: list[str]) -> dict[tuple[str, int], int]:
-        """(term, seg_id) -> docs of ``term`` hidden in that segment,
-        summed over COMMITTED deltas. issued_delta is the partition
-        directory (one OVERWRITTEN dir per delta — exactly one row set
-        per commit), so the committed-set filter is partition pruning.
-        One tiny parquet read pruned to the query terms; no posting
-        decode."""
-        path = self._hidden_df_path()
-        committed = self._delta_ids()
-        if not terms or not committed or not self._nonempty_dir(path):
-            return {}
-        rows = (
-            self.spark.read.parquet(path)
-            .filter(
-                F.col("term").isin(terms) & F.col("issued_delta").isin(committed)
-            )
-            .groupBy("term", "seg_id")
-            .agg(F.sum("hidden").alias("hidden"))
-            .collect()
-        )
-        return {(r["term"], int(r["seg_id"])): int(r["hidden"]) for r in rows}
-
     def _hidden_stats_totals(self) -> tuple[int, int]:
         """(hidden_docs, hidden_dl) summed over committed deltas.
         Term-independent, fully determined by (epoch, committed delta
@@ -864,11 +855,33 @@ class DeltaIndexManager:
         dicts = dict_parts[0]
         for p in dict_parts[1:]:
             dicts = dicts.unionByName(p)
-        seg_df: dict[tuple[str, int], int] = {
-            (r["term"], int(r["seg_id"])): int(r["df"]) for r in dicts.collect()
-        }
-
-        hidden = self._hidden_df_map(terms)
+        # hidden-df corrections ride the SAME collect as the dictionary
+        # lookups (round-6: one driver job per query instead of two —
+        # both relations are tiny, keyed (term, seg_id), and needed at
+        # the same moment). Rows are tagged by a src column.
+        dicts = dicts.withColumn("src", F.lit("dict"))
+        hpath = self._hidden_df_path()
+        committed = self._delta_ids()
+        if committed and self._nonempty_dir(hpath):
+            hidden_rel = (
+                self.spark.read.parquet(hpath)
+                .filter(
+                    F.col("term").isin(terms)
+                    & F.col("issued_delta").isin(committed)
+                )
+                .groupBy("term", "seg_id")
+                .agg(F.sum("hidden").alias("df"))
+                .select("seg_id", "term", "df", F.lit("hidden").alias("src"))
+            )
+            dicts = dicts.unionByName(hidden_rel)
+        seg_df: dict[tuple[str, int], int] = {}
+        hidden: dict[tuple[str, int], int] = {}
+        for r in dicts.collect():
+            key = (r["term"], int(r["seg_id"]))
+            if r["src"] == "dict":
+                seg_df[key] = int(r["df"])
+            else:
+                hidden[key] = int(r["df"])
         idfs: dict[str, float] = {}
         live_df: dict[str, int] = {}
         for t in terms:

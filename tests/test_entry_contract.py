@@ -7,9 +7,12 @@ and the oracle column-alias rule's precondition (every oracle is
 plain text the driver can hand to DuckDB).
 """
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 import __spark_entry__ as entry
 

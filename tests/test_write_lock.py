@@ -304,6 +304,47 @@ def test_corrupt_present_lock_still_breakable(tmp_path):
         WriteLock(root, stale_after=1800).acquire()
 
 
+def test_unreadable_present_lock_breaks_by_mtime(tmp_path, monkeypatch):
+    """Round-5 ADVICE: a PRESENT lock whose read raises a non-ENOENT
+    OSError (EACCES, transient EIO) must not take the absent arm —
+    absent means 'nothing to break' and acquire() would burn its 8
+    retries against a file the mtime fallback can legitimately break.
+    The unreadable sentinel routes it to _is_stale(None) = file-mtime
+    staleness: old file breaks, fresh file raises LockHeldError."""
+    from coa_codesearch_mcp_spark.index import lock as lockmod
+
+    root = str(tmp_path / "ix")
+    os.makedirs(root)
+    lock_path = os.path.join(root, LOCK_NAME)
+    with open(lock_path, "w") as f:
+        f.write("whatever")
+
+    real_open = open
+
+    def eacces_open(path, *a, **kw):
+        if path == lock_path:
+            raise PermissionError(13, "Permission denied", path)
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr("builtins.open", eacces_open)
+
+    # fresh mtime: held, surfaced as LockHeldError (not an 8-retry spin
+    # ending in 'could not break stale lock')
+    with pytest.raises(LockHeldError) as exc:
+        WriteLock(root, stale_after=1800).acquire()
+    assert "could not break" not in str(exc.value)
+
+    # stale mtime: broken via the mtime fallback, acquire succeeds
+    old = time.time() - 9999
+    os.utime(lock_path, (old, old))
+    lk = WriteLock(root, stale_after=1800).acquire()
+    assert lk._held
+    monkeypatch.undo()
+    assert json.load(open(lk.path))["pid"] == os.getpid()
+    lk.release()
+    assert not os.path.exists(lk.path)
+
+
 def _race_once(root_base, iteration, n_threads=3, dead_pid=None):
     """One stale-lock break race. Returns (violations, acquired_count).
     Worker exceptions are COLLECTED and re-raised by the caller in the
