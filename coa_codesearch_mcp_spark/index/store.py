@@ -738,6 +738,12 @@ class IndexReader:
         self.field: str = corpus["field"]
         if hasattr(self, "_n_buckets"):
             del self._n_buckets  # lazily re-read from the new config
+        # per-term dictionary cache, scoped to THIS snapshot (reset on
+        # every reload, so a rebuild can never serve stale df) — the
+        # Lucene term-dictionary-cache analog: repeated query terms
+        # skip the lookup job entirely. Entries: term -> info dict, or
+        # None for confirmed-absent terms (negative cache).
+        self._term_cache: dict[str, dict | None] = {}
 
     def refresh_if_changed(self) -> int | None:
         """Re-read manifest-derived corpus stats when the on-disk
@@ -776,22 +782,29 @@ class IndexReader:
         from .hashing import term_bucket
 
         uniq = sorted(set(terms))
-        buckets = sorted({term_bucket(t, self.n_buckets) for t in uniq})
-        rows = (
-            self.dictionary()
-            .filter(F.col("bucket").isin(buckets))
-            .filter(F.col("term").isin(uniq))
-            .collect()
-        )
-        return {
-            r["term"]: {
-                "df": r["df"],
-                "bucket": r["bucket"],
-                "n_salts": r["n_salts"],
-                "idf": idf_py(r["df"], self.n_docs),
+        missing = [t for t in uniq if t not in self._term_cache]
+        if missing:
+            if len(self._term_cache) > 65536:
+                self._term_cache.clear()  # bounded driver memory
+            buckets = sorted({term_bucket(t, self.n_buckets) for t in missing})
+            rows = (
+                self.dictionary()
+                .filter(F.col("bucket").isin(buckets))
+                .filter(F.col("term").isin(missing))
+                .collect()
+            )
+            found = {
+                r["term"]: {
+                    "df": r["df"],
+                    "bucket": r["bucket"],
+                    "n_salts": r["n_salts"],
+                    "idf": idf_py(r["df"], self.n_docs),
+                }
+                for r in rows
             }
-            for r in rows
-        }
+            for t in missing:
+                self._term_cache[t] = found.get(t)
+        return {t: self._term_cache[t] for t in uniq if self._term_cache[t] is not None}
 
     def postings_blocks(
         self, terms: list[str], columns: list[str] | None = None

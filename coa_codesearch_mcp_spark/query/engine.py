@@ -175,8 +175,20 @@ class TextSearchEngine:
             ast = build_query(plan.processed_query, "standard", field)
             hits = searcher.execute(ast, k)
             # tiered fallback: routed field found nothing -> content
-            # (TextSearchTool.cs:313-343)
-            if field != FIELD_CONTENT and len(hits.take(1)) == 0:
+            # (TextSearchTool.cs:313-343). The zero-hit probe COLLECTS
+            # the routed top-k (bounded by k) instead of take(1):
+            # take(1) launched the whole scatter once for the probe and
+            # a second time for the caller's collect — doubling every
+            # routed query (round-6; the collected rows come back as a
+            # local relation, so downstream consumption is free).
+            if field != FIELD_CONTENT:
+                spark = self._spark()
+                if spark is not None:
+                    rows = [(r["doc_id"], r["score"]) for r in hits.collect()]
+                    if rows:
+                        return rows_to_local_df(spark, rows)
+                elif len(hits.take(1)) > 0:
+                    return hits
                 ast2 = build_query(plan.processed_query, "standard", FIELD_CONTENT)
                 hits = content.execute(ast2, k)
                 state["fallback"] = True
