@@ -361,18 +361,23 @@ class IndexWriter:
 
     # --------------------------------------------- stage 2: dictionary
 
-    def _tokens_total_hint(self) -> int:
-        """Corpus token volume from per-wave manifest lineage (each
-        wave observed its own count on the write job) — 0 when any
-        wave predates the metric, so callers fall back to the
-        non-adaptive default."""
+    def _wave_totals(self) -> tuple[int, int]:
+        """(docs, tokens) summed from per-wave manifest lineage (each
+        wave observed its own counts on the write job) — (0, 0) when
+        any wave predates the metrics, so callers fall back to the
+        non-adaptive / recomputed path."""
         units = self.manifest.stage("tokens")["units"]
-        per_wave: dict[str, int] = {}
+        per_wave: dict[str, tuple[int, int]] = {}
         for u in units.values():
-            if "wave_tokens" not in u:
-                return 0
-            per_wave[u.get("wave_id", "w")] = u["wave_tokens"]
-        return sum(per_wave.values())
+            if "wave_tokens" not in u or "wave_docs" not in u:
+                return 0, 0
+            per_wave[u.get("wave_id", "w")] = (u["wave_docs"], u["wave_tokens"])
+        docs = sum(d for d, _ in per_wave.values())
+        tokens = sum(t for _, t in per_wave.values())
+        return docs, tokens
+
+    def _tokens_total_hint(self) -> int:
+        return self._wave_totals()[1]
 
     def _adaptive_bucket_tasks(self, n_dirs: int) -> int:
         """Write-task count for a bucket-partitioned table: one task
@@ -425,19 +430,29 @@ class IndexWriter:
             .mode("overwrite")
             .parquet(os.path.join(self.root, "dictionary"))
         )
-        stats = doclens.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg("dl").alias("avgdl"),
-            F.sum("dl").alias("total_tokens"),
-        ).collect()[0]
+        # corpus stats from per-wave manifest lineage (each wave's
+        # doc/token counts were observed on its own write job), so no
+        # doclens aggregation job runs per build (round-6). Exact:
+        # n_docs/total_tokens are integer sums of the same rows, and
+        # avgdl = total/n is bit-identical to Spark's avg over longs
+        # (sum-then-divide). Falls back to the one-job aggregate for
+        # legacy lineage without the metrics.
+        n_docs, total_tokens = self._wave_totals()
+        if n_docs == 0:
+            stats = doclens.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("dl").alias("total_tokens"),
+            ).collect()[0]
+            n_docs = int(stats["n"])
+            total_tokens = int(stats["total_tokens"] or 0)
         n_terms = obs.get["n_terms"]
         self.manifest.set_stats(
             "corpus",
             {
                 "field": cfg.field,
-                "n_docs": int(stats["n"]),
-                "avgdl": float(stats["avgdl"] or 0.0),
-                "total_tokens": int(stats["total_tokens"] or 0),
+                "n_docs": n_docs,
+                "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+                "total_tokens": total_tokens,
                 "n_terms": int(n_terms),
             },
         )

@@ -127,8 +127,14 @@ class Searcher:
         if len(terms) == 1:
             return self.search_term(terms[0], k)
 
-        # gather per-doc position arrays for each phrase slot
-        p = self._postings_for(list(set(terms))).select("term", "doc_id", "dl", "positions")
+        # gather per-doc position arrays for each phrase slot. Straight
+        # off postings — NOT _postings_for: the phrase scorer never
+        # reads term df (the phrase is scored as one pseudo-term), so
+        # the dictionary broadcast join was dead weight in every
+        # phrase plan (round-6).
+        p = self.ix.postings.filter(
+            F.col("term").isin(sorted(set(terms)))
+        ).select("term", "doc_id", "dl", "positions")
         per_slot = None
         for i, t in enumerate(terms):
             slot = p.filter(F.col("term") == t).select(
