@@ -36,6 +36,25 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE size-coalesce INSIDE cached plans too: a cached
+        # relation otherwise materializes with the static
+        # shuffle-partition count, so every scan of a small cached
+        # index pays tasks proportional to the cluster, not the data
+        # (scale-adaptive partitioning, guide §2.2)
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
+        # InferFiltersFromGenerate duplicates Python UDFs: exploding a
+        # UDF-produced array infers a size()>0 pre-filter whose pushed
+        # copy re-evaluates the UDF below the exchange (guide §4.4's
+        # double-BatchEvalPython shape — seen on the embedding
+        # posexplode). Generate itself already skips empty/null arrays
+        # when outer=false, so the inferred filter buys nothing here.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
