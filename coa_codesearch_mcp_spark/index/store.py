@@ -759,6 +759,14 @@ class IndexReader:
         # skip the lookup job entirely. Entries: term -> info dict, or
         # None for confirmed-absent terms (negative cache).
         self._term_cache: dict[str, dict | None] = {}
+        # memoized table relations, also snapshot-scoped: creating a
+        # DataFrame over a partitioned parquet dir launches a
+        # partition-discovery job every time, so re-reading the same
+        # immutable segment tables per query paid one tiny job per
+        # table per query (round-6). Segment data under a snapshot is
+        # immutable (writes land before the manifest commit), so the
+        # pinned file listing stays exact until the reload resets it.
+        self._df_cache: dict[str, DataFrame] = {}
 
     def refresh_if_changed(self) -> int | None:
         """Re-read manifest-derived corpus stats when the on-disk
@@ -775,7 +783,18 @@ class IndexReader:
         return self._snapshot_mtime_ns
 
     def dictionary(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.root, "dictionary"))
+        if "dictionary" not in self._df_cache:
+            self._df_cache["dictionary"] = self.spark.read.parquet(
+                os.path.join(self.root, "dictionary")
+            )
+        return self._df_cache["dictionary"]
+
+    def postings_df(self) -> DataFrame:
+        if "postings" not in self._df_cache:
+            self._df_cache["postings"] = self.spark.read.parquet(
+                os.path.join(self.root, "postings")
+            )
+        return self._df_cache["postings"]
 
     @property
     def n_buckets(self) -> int:
@@ -840,7 +859,7 @@ class IndexReader:
                 empty = empty.select(*columns)
             return empty, info
         blocks = (
-            self.spark.read.parquet(os.path.join(self.root, "postings"))
+            self.postings_df()
             .filter(F.col("bucket").isin(buckets))
             .filter(F.col("term").isin(sorted(info)))
         )

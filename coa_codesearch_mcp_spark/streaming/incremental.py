@@ -96,6 +96,22 @@ MAIN_SEG = 0
 _CORRECTIONS_ISIN_MAX = 10_000
 
 
+def _tomb_map_lww(doc_ids, upto_segs, issued_deltas) -> dict[int, int]:
+    """Resolve last-writer-wins tombstones from RAW rows: per doc the
+    (issued_delta, upto_seg)-max row wins — the same deterministic
+    tie-break as tombstones()' window. Query paths ship raw rows to
+    the range that owns them (a doc's tombstones share its range_id)
+    and resolve here, so the per-query window shuffle keyed on doc_id
+    is gone (round-6: one less exchange + AQE stage per live query)."""
+    best: dict[int, tuple[int, int]] = {}
+    for d, u, i in zip(doc_ids, upto_segs, issued_deltas):
+        d = int(d)
+        key = (int(i), int(u))
+        if d not in best or key > best[d]:
+            best[d] = key
+    return {d: u for d, (_, u) in best.items()}
+
+
 def _score_range_segments(
     pdf: pd.DataFrame,
     tomb_map: dict[int, int],
@@ -284,15 +300,70 @@ class DeltaIndexManager:
         )
         return latest
 
+    def _snapshot_df(self, kind: str, path: str) -> DataFrame:
+        """Memoized spark.read.parquet keyed on (kind, epoch,
+        committed-delta set): creating the relation launches a
+        file-discovery job each time, and under a fixed committed set
+        the files the query may legitimately see are fixed too (rows
+        from uncommitted deltas are filtered out by issued_delta
+        either way). A new commit changes the key and forces a fresh
+        listing. Single-entry per kind — only the current snapshot is
+        ever re-requested."""
+        key = (
+            kind,
+            int(self._active().get("epoch", 0)),
+            tuple(self._delta_ids()),
+        )
+        cache = getattr(self, "_snap_dfs", None)
+        if cache is None:
+            cache = self._snap_dfs = {}
+        hit = cache.get(kind)
+        if hit is not None and hit[0] == key:
+            return hit[1]
+        df = self.spark.read.parquet(path)
+        cache[kind] = (key, df)
+        return df
+
+    def _tombstones_raw(self) -> DataFrame:
+        """(doc_id, upto_seg, issued_delta) of COMMITTED tombstone
+        rows, unresolved: query paths repartition these by range_id
+        and resolve last-writer-wins inside the scatter
+        (_tomb_map_lww) — same winner as tombstones(), one less
+        shuffle per query."""
+        path = self._tombstone_path()
+        committed = self._delta_ids()
+        schema = "doc_id long, upto_seg long, issued_delta long"
+        if not committed or not os.path.exists(path):
+            return self.spark.createDataFrame([], schema)
+        return self._snapshot_df("tombstones", path).filter(
+            F.col("issued_delta").isin(committed)
+        ).select("doc_id", "upto_seg", "issued_delta")
+
+    def _reader_for(self, root: str) -> IndexReader:
+        """Segment readers are cached per root and refreshed by
+        snapshot token (one os.stat): round-6 — constructing a fresh
+        IndexReader per segment per query re-parsed manifests and
+        re-launched partition-discovery jobs for tables that are
+        immutable under their snapshot."""
+        cache = getattr(self, "_seg_readers", None)
+        if cache is None:
+            cache = self._seg_readers = {}
+        r = cache.get(root)
+        if r is None:
+            r = cache[root] = IndexReader(self.spark, root)
+        else:
+            r.refresh_if_changed()
+        return r
+
     def segments(self) -> list[tuple[int, IndexReader]]:
         out = []
         main = self._main_root()
         if os.path.exists(os.path.join(main, "manifest.json")):
-            out.append((MAIN_SEG, IndexReader(self.spark, main)))
+            out.append((MAIN_SEG, self._reader_for(main)))
         for d in self._delta_ids():
             r = self._delta_root(d)
             if os.path.exists(os.path.join(r, "manifest.json")):
-                out.append((d, IndexReader(self.spark, r)))
+                out.append((d, self._reader_for(r)))
         return out
 
     # ------------------------------------------------------ mutation
@@ -842,7 +913,7 @@ class DeltaIndexManager:
                 )
             )
             blocks = (
-                self.spark.read.parquet(os.path.join(r.root, "postings"))
+                r.postings_df()
                 .filter(F.col("bucket").isin(buckets))
                 .filter(F.col("term").isin(all_terms))
             )
@@ -858,20 +929,26 @@ class DeltaIndexManager:
         # hidden-df corrections ride the SAME collect as the dictionary
         # lookups (round-6: one driver job per query instead of two —
         # both relations are tiny, keyed (term, seg_id), and needed at
-        # the same moment). Rows are tagged by a src column.
+        # the same moment). Rows are tagged by a src column; the
+        # per-(term, seg) correction sum happens driver-side over the
+        # collected rows (bounded by terms x segments x deltas), so
+        # the job is scan-only — no aggregation exchange, one AQE
+        # stage.
         dicts = dicts.withColumn("src", F.lit("dict"))
         hpath = self._hidden_df_path()
         committed = self._delta_ids()
         if committed and self._nonempty_dir(hpath):
             hidden_rel = (
-                self.spark.read.parquet(hpath)
+                self._snapshot_df("hidden_df", hpath)
                 .filter(
                     F.col("term").isin(terms)
                     & F.col("issued_delta").isin(committed)
                 )
-                .groupBy("term", "seg_id")
-                .agg(F.sum("hidden").alias("df"))
-                .select("seg_id", "term", "df", F.lit("hidden").alias("src"))
+                .select(
+                    "seg_id", "term",
+                    F.col("hidden").alias("df"),
+                    F.lit("hidden").alias("src"),
+                )
             )
             dicts = dicts.unionByName(hidden_rel)
         seg_df: dict[tuple[str, int], int] = {}
@@ -881,7 +958,7 @@ class DeltaIndexManager:
             if r["src"] == "dict":
                 seg_df[key] = int(r["df"])
             else:
-                hidden[key] = int(r["df"])
+                hidden[key] = hidden.get(key, 0) + int(r["df"])
         idfs: dict[str, float] = {}
         live_df: dict[str, int] = {}
         for t in terms:
@@ -895,8 +972,12 @@ class DeltaIndexManager:
         # Tombstones are DISTRIBUTED to the range that owns each doc id
         # via cogroup on range_id — no driver collect, no pickled dict
         # in the UDF closure: after heavy churn the tombstone set is
-        # unbounded, but each range only ever sees its own slice.
-        tomb_by_range = self.tombstones().withColumn(
+        # unbounded, but each range only ever sees its own slice. RAW
+        # committed rows travel (a doc's tombstones share its
+        # range_id); last-writer-wins resolves inside the scatter
+        # (_tomb_map_lww), which removes the per-query doc_id window
+        # shuffle the resolved view needed.
+        tomb_by_range = self._tombstones_raw().withColumn(
             "range_id",
             F.expr(f"CAST(doc_id DIV {self.cfg.range_size} AS LONG)"),
         )
@@ -943,11 +1024,8 @@ class DeltaIndexManager:
         rare_idfs = {rare: idfs[rare]}
 
         def per_range(pdf: pd.DataFrame, tomb_pdf: pd.DataFrame) -> pd.DataFrame:
-            tomb_map = dict(
-                zip(
-                    tomb_pdf["doc_id"].astype("int64").tolist(),
-                    tomb_pdf["upto_seg"].astype("int64").tolist(),
-                )
+            tomb_map = _tomb_map_lww(
+                tomb_pdf["doc_id"], tomb_pdf["upto_seg"], tomb_pdf["issued_delta"]
             )
             hits = _score_range_segments(
                 pdf, tomb_map, rare_idfs, set(), avgdl, k, "or", None
@@ -1006,11 +1084,8 @@ class DeltaIndexManager:
         )
 
         def per_range(pdf: pd.DataFrame, tomb_pdf: pd.DataFrame) -> pd.DataFrame:
-            tomb_map = dict(
-                zip(
-                    tomb_pdf["doc_id"].astype("int64").tolist(),
-                    tomb_pdf["upto_seg"].astype("int64").tolist(),
-                )
+            tomb_map = _tomb_map_lww(
+                tomb_pdf["doc_id"], tomb_pdf["upto_seg"], tomb_pdf["issued_delta"]
             )
             hits = _score_range_segments(
                 pdf, tomb_map, idfs, exclude_set, avgdl, kk, mode, n_required,
@@ -1064,10 +1139,12 @@ class DeltaIndexManager:
             else 0.0
         )
         blocks_pdf = all_blocks.toPandas()
-        tomb_map = {
-            int(r["doc_id"]): int(r["upto_seg"])
-            for r in self.tombstones().collect()
-        }
+        tomb_rows = self._tombstones_raw().collect()
+        tomb_map = _tomb_map_lww(
+            [r["doc_id"] for r in tomb_rows],
+            [r["upto_seg"] for r in tomb_rows],
+            [r["issued_delta"] for r in tomb_rows],
+        )
         stats = WandStats()
         hits: list[tuple[int, float]] = []
         for _, range_pdf in blocks_pdf.groupby("range_id", sort=True):
@@ -1113,11 +1190,8 @@ class DeltaIndexManager:
         seq = list(terms)
 
         def per_range(pdf: pd.DataFrame, tomb_pdf: pd.DataFrame) -> pd.DataFrame:
-            tomb_map = dict(
-                zip(
-                    tomb_pdf["doc_id"].astype("int64").tolist(),
-                    tomb_pdf["upto_seg"].astype("int64").tolist(),
-                )
+            tomb_map = _tomb_map_lww(
+                tomb_pdf["doc_id"], tomb_pdf["upto_seg"], tomb_pdf["issued_delta"]
             )
 
             def visible(doc_id: int, seg_id: int) -> bool:
