@@ -18,7 +18,6 @@ from .chains import (
     FIELD_CONTENT,
     FIELD_PATTERNS,
     FIELD_SYMBOLS,
-    analyze,
     analyze_positions,
 )
 
@@ -78,20 +77,6 @@ def make_grouped_tokenizer_udf(field: str):
         return texts.map(one)
 
     return tok
-
-
-# positions-free variant of GROUPED_TOKEN_SCHEMA for consumers that
-# never read positions (with_positions=False index builds): building
-# and Arrow-shipping the per-term position lists is pure overhead
-# there (guide §4.1 — pass only the columns the consumer needs)
-TF_TOKEN_SCHEMA = T.ArrayType(
-    T.StructType(
-        [
-            T.StructField("term", T.StringType(), False),
-            T.StructField("tf", T.IntegerType(), False),
-        ]
-    )
-)
 
 
 GROUPED_TOKENS_ARROW_SCHEMA = (
@@ -177,22 +162,6 @@ def grouped_tokens_arrow(
         F.col(text_col).alias("text"),
     )
     return src.mapInArrow(fn, GROUPED_TOKENS_ARROW_SCHEMA)
-
-
-def make_tf_tokenizer_udf(field: str):
-    @pandas_udf(TF_TOKEN_SCHEMA)
-    def tok(texts: pd.Series) -> pd.Series:
-        def one(t):
-            if t is None:
-                return []
-            counts: dict[str, int] = {}
-            for term in analyze(field, t):
-                counts[term] = counts.get(term, 0) + 1
-            return [{"term": term, "tf": n} for term, n in counts.items()]
-
-        return texts.map(one)
-
-    return tok
 
 
 tokenize_content = _make_tokenizer_udf(FIELD_CONTENT)

@@ -160,3 +160,48 @@ def test_patterns_builtin_path_matches_python_on_unicode_ws(spark):
     ]
     want = [analyze_positions(FIELD_PATTERNS, t) for t in texts]
     assert got == want
+
+
+def test_grouped_tokens_arrow_matches_pandas_twin(spark, documents):
+    """Differential oracle for the round-6 Arrow-native tokenizer
+    boundary: grouped_tokens_arrow (flat-buffer ListArray/StructArray
+    construction) must emit exactly the per-doc grouped rows of the
+    original pandas grouped UDF — same terms, tfs, positions and dl,
+    on both the whitespace and the code chain."""
+    from pyspark.sql import functions as F
+
+    from coa_codesearch_mcp_spark.analysis.udfs import (
+        grouped_tokens_arrow,
+        make_grouped_tokenizer_udf,
+    )
+
+    docs = documents.limit(60).select("doc_id", "text")
+    for field in ("content_patterns", "content"):
+        arrow = grouped_tokens_arrow(docs, field)
+        gu = make_grouped_tokenizer_udf(field)
+        pandas_twin = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            gu(F.col("text")).alias("tokens"),
+        ).withColumn(
+            "dl",
+            F.aggregate(
+                "tokens", F.lit(0), lambda acc, x: acc + x["tf"]
+            ).cast("long"),
+        )
+
+        def norm(df):
+            rows = df.select(
+                "doc_id", "dl", F.explode_outer("tokens").alias("tok")
+            ).collect()
+            return sorted(
+                (
+                    r["doc_id"],
+                    r["dl"],
+                    None if r["tok"] is None else r["tok"]["term"],
+                    None if r["tok"] is None else r["tok"]["tf"],
+                    None if r["tok"] is None else tuple(r["tok"]["positions"]),
+                )
+                for r in rows
+            )
+
+        assert norm(arrow) == norm(pandas_twin), field
